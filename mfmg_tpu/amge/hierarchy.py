@@ -1,0 +1,238 @@
+"""The multigrid hierarchy: setup + jitted V-cycle.
+
+Analog of mfmg::Hierarchy (reference include/mfmg/common/hierarchy.hpp:155-309).
+Design difference: where the reference is an object graph with virtual
+dispatch (Operator/Smoother/Solver/HierarchyHelpers), the TPU hierarchy is
+*data* — a pytree of per-level arrays built once by pure setup code — and the
+V-cycle is a pure jitted function over that pytree.  One XLA compilation holds
+the entire cycle: every smoothing step, residual, restriction SpMV and the
+dense coarse solve fuse into a single device program with no host round-trips.
+
+Setup pipeline per level (mirrors hierarchy.hpp:178-234):
+    operator -> smoother -> agglomerates -> batched eigensolve -> R (PoU
+    weighted) -> AP (SpGEMM or fast_ap) -> A_coarse = R·AP -> recurse/coarse solver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from mfmg_tpu.amge.agglomeration import build_agglomerates
+from mfmg_tpu.amge.local_problems import build_agglomerate_batch
+from mfmg_tpu.amge.restriction import build_restriction, check_restriction
+from mfmg_tpu.config import Config
+from mfmg_tpu.eigen.batched_eigh import batched_smallest_eigenpairs
+from mfmg_tpu.ops.sparse import ELLMatrix, ell_from_scipy
+from mfmg_tpu.solve.cg import cg_solve
+from mfmg_tpu.solve.coarse import build_coarse_solver
+from mfmg_tpu.solve.operator import apply_op
+from mfmg_tpu.solve.smoothers import build_smoother
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LevelData:
+    """Per-level state (analog of mfmg::Level, common/level.hpp:22-77)."""
+
+    op: object                           # ELLMatrix | MatrixFreeOperator
+    smoother: object = None              # None on the coarsest level
+    R: Optional[ELLMatrix] = None        # restriction INTO this level's coarse
+    RT: Optional[ELLMatrix] = None       # prolongation (R transpose)
+    coarse: object = None                # coarse solver on the coarsest level
+
+
+def _vcycle(levels, b, x, level, n_smoothing_steps, is_preconditioner):
+    """Recursive V-cycle (hierarchy.hpp:246-309), unrolled at trace time."""
+    lvl = levels[level]
+    if level > 0 or is_preconditioner:
+        x = jnp.zeros_like(b)
+    if level == len(levels) - 1:
+        return lvl.coarse.apply(b)
+    for _ in range(n_smoothing_steps):
+        x = lvl.smoother.apply(lvl.op, b, x)
+    # negative residual: res = A x - b (hierarchy.hpp:282-286)
+    res = apply_op(lvl.op, x) - b
+    b_coarse = lvl.R @ res
+    x_coarse = _vcycle(levels, b_coarse, jnp.zeros_like(b_coarse), level + 1,
+                       n_smoothing_steps, is_preconditioner)
+    x = x - lvl.RT @ x_coarse
+    for _ in range(n_smoothing_steps):
+        x = lvl.smoother.apply(lvl.op, b, x)
+    return x
+
+
+@partial(jax.jit, static_argnames=("n_smoothing_steps", "is_preconditioner"))
+def vcycle(levels, b, x, n_smoothing_steps=1, is_preconditioner=True):
+    return _vcycle(tuple(levels), b, x, 0, n_smoothing_steps, is_preconditioner)
+
+
+class Hierarchy:
+    """Public entry point — ctor runs the full setup (hierarchy.hpp:159-236)."""
+
+    def __init__(self, problem, config: Config | None = None):
+        self.config = config or Config()
+        self.problem = problem
+        self.dtype = jnp.dtype(self.config.dtype)
+        self.levels: list[LevelData] = []
+        self._setup()
+
+    # ------------------------------------------------------------- setup --
+    def _setup(self):
+        cfg = self.config
+        problem = self.problem
+
+        if cfg.operator == "matrix_free":
+            fine_op = problem.matrix_free_operator(dtype=self.dtype)
+        else:
+            fine_op = problem.ell_operator(dtype=self.dtype)
+
+        num_levels = cfg.max_levels
+        A_scipy = problem.A             # assembled fine matrix (setup only)
+        self._A_per_level = [A_scipy]
+
+        op = fine_op
+        for level in range(num_levels):
+            if level == num_levels - 1:
+                coarse = build_coarse_solver(self._A_per_level[level], cfg.coarse, dtype=self.dtype)
+                self.levels.append(LevelData(op=op, coarse=coarse))
+                break
+            smoother = build_smoother(op, cfg.smoother, dtype=self.dtype)
+
+            R = self._build_restrictor(level)
+            A_coarse = (R @ self._A_per_level[level] @ R.T).tocsr()
+            self._A_per_level.append(A_coarse)
+
+            self.levels.append(LevelData(
+                op=op,
+                smoother=smoother,
+                R=ell_from_scipy(R, dtype=self.dtype),
+                RT=ell_from_scipy(R.T.tocsr(), dtype=self.dtype),
+            ))
+            op = ell_from_scipy(A_coarse, dtype=self.dtype)
+
+    def _build_restrictor(self, level: int) -> sp.csr_matrix:
+        """Analog of HierarchyHelpers::build_restrictor for one level.
+
+        Level 0 agglomerates mesh cells; deeper levels (multilevel mode)
+        agglomerate the coarse operator algebraically.
+        """
+        cfg = self.config
+        problem = self.problem
+        if level == 0:
+            agg_ids = build_agglomerates(problem.mesh, cfg.agglomeration)
+            batch = build_agglomerate_batch(problem.mesh, problem.A_loc, agg_ids)
+            check_restriction(batch, problem.diag_raw, problem.n_dofs)
+            evals, evecs = self._eigensolve(batch)
+            self._level0_eigendata = (batch, evals, evecs)
+            return build_restriction(batch, evecs, problem.diag_raw, problem.n_dofs)
+        # Algebraic coarsening of an already-coarse operator: group coarse
+        # dofs by their originating agglomerate block via RCB on the coarse
+        # "graph".  (Multilevel support; the reference defaults to 2 levels
+        # and delegates deeper hierarchies to ML/AMGX — here we recurse with
+        # our own machinery.)
+        from mfmg_tpu.amge.algebraic import build_algebraic_restriction
+        return build_algebraic_restriction(self._A_per_level[level], cfg)
+
+    def _constrained_mode(self) -> str:
+        mode = self.config.eigensolver.constrained_mode
+        if mode != "auto":
+            return mode
+        # Follow the reference's per-path convention: matrix-free evaluators
+        # see constrained dofs as identity rows (deal.II MatrixFree); the
+        # assembled host path shifts + pins them to 200.
+        return "identity" if self.config.operator == "matrix_free" else "pin"
+
+    def _eigensolve(self, batch):
+        cfg = self.config.eigensolver
+        mode = self._constrained_mode()
+        if cfg.type == "lapack":
+            return batched_smallest_eigenpairs(batch, cfg.n_eigenvectors,
+                                               constrained_mode=mode)
+        if cfg.type == "lanczos":
+            from mfmg_tpu.eigen.lanczos import batched_lanczos_smallest
+            return batched_lanczos_smallest(batch, cfg, constrained_mode=mode)
+        raise ValueError(f"unknown eigensolver type {cfg.type!r}")
+
+    # ------------------------------------------------------------- apply --
+    def apply(self, b, x=None):
+        """One V-cycle: solves/preconditions A x = b (hierarchy.hpp:246)."""
+        b = jnp.asarray(b, dtype=self.dtype)
+        if x is None:
+            x = jnp.zeros_like(b)
+        return vcycle(self.levels, b, x,
+                      n_smoothing_steps=self.config.smoother.n_smoothing_steps,
+                      is_preconditioner=self.config.is_preconditioner)
+
+    def vmult(self, b):
+        """Preconditioner application x = M^{-1} b (hierarchy.hpp:238-244)."""
+        b = jnp.asarray(b, dtype=self.dtype)
+        return vcycle(self.levels, b, jnp.zeros_like(b),
+                      n_smoothing_steps=self.config.smoother.n_smoothing_steps,
+                      is_preconditioner=True)
+
+    def solve_cg(self, b, tol=1e-12, maxiter=1000):
+        """Hierarchy-preconditioned CG (analog of laplace.hpp:206-219)."""
+        levels = self.levels
+        nss = self.config.smoother.n_smoothing_steps
+
+        def precond(r):
+            return vcycle(levels, r, jnp.zeros_like(r),
+                          n_smoothing_steps=nss, is_preconditioner=True)
+
+        b = jnp.asarray(b, dtype=self.dtype)
+        return cg_solve(self.levels[0].op, b, preconditioner=precond,
+                        tol=tol, maxiter=maxiter)
+
+    # ------------------------------------------------------------ metrics --
+    def grid_complexity(self) -> float:
+        """Σ level sizes / fine size (operator.hpp:49-51 contract)."""
+        sizes = [A.shape[0] for A in self._A_per_level]
+        return sum(sizes) / sizes[0]
+
+    def operator_complexity(self) -> float:
+        nnzs = [A.nnz for A in self._A_per_level]
+        return sum(nnzs) / nnzs[0]
+
+
+def measure_vcycle_rate(hierarchy: Hierarchy, n_cycles: int = 20, seed: int = 0):
+    """Asymptotic V-cycle convergence-rate harness.
+
+    Mirrors the reference's gold-standard measurement
+    (tests/test_hierarchy.cc:95-124): random initial error (uniform [0,1),
+    zero at Dirichlet dofs), zero RHS, n_cycles standalone V-cycles; rate =
+    res[n]/res[n-1].  The error is renormalized every cycle (valid since the
+    iteration is linear), so the measurement is exact power iteration on the
+    error-propagation operator and does not underflow in float32.
+    """
+    problem = hierarchy.problem
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0.0, 1.0, size=problem.n_dofs)
+    x[problem.constrained] = 0.0
+    x = jnp.asarray(x, dtype=hierarchy.dtype)
+    b = jnp.zeros_like(x)
+    op = hierarchy.levels[0].op
+    nss = hierarchy.config.smoother.n_smoothing_steps
+
+    res_prev = None
+    rate = None
+    for i in range(n_cycles):
+        x = vcycle(hierarchy.levels, b, x, n_smoothing_steps=nss,
+                   is_preconditioner=False)
+        res = float(jnp.linalg.norm(apply_op(op, x)))
+        if res_prev is not None and res_prev > 0:
+            rate = res / res_prev
+        # renormalize to keep the iteration in range
+        nrm = float(jnp.linalg.norm(x))
+        if nrm > 0:
+            x = x / nrm
+            res_prev = res / nrm
+        else:
+            res_prev = res
+    return rate

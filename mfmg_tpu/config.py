@@ -1,0 +1,190 @@
+"""Configuration for mfmg_tpu.
+
+Dataclass analog of mfmg's boost::property_tree parameter trees
+(reference tests/data/hierarchy_input.info and
+include/mfmg/common/hierarchy.hpp:168-172 for the defaults).  The same keys are
+accepted from nested dicts via :meth:`Config.from_dict`, and from mfmg-style
+``.info`` files via :meth:`Config.from_info` (see utils/info_parser.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class EigensolverConfig:
+    """Parameters of the per-agglomerate eigensolver.
+
+    Mirrors the ``eigensolver`` subtree (reference
+    dealii/amge_host.templates.hpp:164-207 for how each key is consumed).
+
+    type: "lapack" (batched dense eigh — the TPU-native default, analog of the
+      reference's LAPACK/cuSOLVER paths), "lanczos" (batched Lanczos with
+      Cullum-Willoughby filtering), or "arpack"/"anasazi" (aliases accepted for
+      config compatibility; dispatched to lanczos/lapack equivalents).
+    """
+
+    type: str = "lapack"
+    # Constrained-dof treatment in the local eigenproblems: "auto" follows the
+    # reference's convention for the chosen operator path (matrix path -> "pin"
+    # = shift + diag 200; matrix-free path -> "identity" = diag 1); "raw"
+    # reproduces the reference CUDA path (fragile, see eigen/batched_eigh.py).
+    constrained_mode: str = "auto"
+    n_eigenvectors: int = 2            # "number of eigenvectors"
+    tolerance: float = 1e-14
+    max_iterations: int = 200
+    percent_overshoot: int = 5
+    is_deflated: bool = False
+    num_cycles: int = 1
+    num_eigenpairs_per_cycle: int = 1
+    use_initial_guess: bool = False
+
+
+@dataclasses.dataclass
+class SmootherConfig:
+    """Smoother parameters (reference source/dealii/dealii_smoother.cc:25-70,
+    dealii_matrix_free_smoother.cc:25-60).
+
+    type: "jacobi" (the reference's device smoother,
+      source/cuda/cuda_smoother.cu:39-60), "chebyshev" (the reference's
+      matrix-free smoother), or "symmetric gauss-seidel"/"gauss-seidel"
+      (implemented TPU-natively as multicolor sweeps).
+    n_smoothing_steps: pre- and post-smoothing step count per level.
+    degree / smoothing_range / max_eigenvalue: Chebyshev parameters matching
+      deal.II's PreconditionChebyshev::AdditionalData semantics.
+    """
+
+    type: str = "jacobi"
+    n_smoothing_steps: int = 1
+    degree: int = 1
+    smoothing_range: float = 0.0
+    max_eigenvalue: Optional[float] = None
+    eig_cg_n_iterations: int = 8
+    jacobi_omega: float = 1.0
+
+
+@dataclasses.dataclass
+class CoarseConfig:
+    """Coarsest-level solver (reference source/dealii/dealii_solver.cc:25-87,
+    source/cuda/cuda_solver.cu:42-515).
+
+    type: "direct" (dense Cholesky factorization at setup, triangular solves at
+      apply — the analog of Amesos-KLU / cusolver lu_dense), "cg" (iterative
+      coarse solve), or "amg" (recursive AMGe hierarchy on the coarse matrix —
+      analog of the reference's ML/AMGX coarse solvers).
+    """
+
+    type: str = "direct"
+    # "cg" coarse solver controls
+    tolerance: float = 1e-12
+    max_iterations: int = 200
+    # "amg" coarse solver: parameters of the recursive hierarchy
+    max_levels: int = 2
+    n_agglomerates: int = 8
+
+
+@dataclasses.dataclass
+class AgglomerationConfig:
+    """Agglomerate partitioning (reference common/amge.templates.hpp:51-85).
+
+    partitioner "block": nx/ny/nz cells per agglomerate in each dimension
+    (the reference's x->y->z block walk, amge.templates.hpp:412-499).
+    partitioner "metis"/"zoltan": target ``n_agglomerates`` via graph
+    partitioning of the cell connectivity graph.
+    """
+
+    partitioner: str = "block"
+    nx: int = 2
+    ny: int = 2
+    nz: int = 2
+    n_agglomerates: int = 4
+
+    def block_dims(self, dim: int):
+        return (self.nx, self.ny, self.nz)[:dim]
+
+
+@dataclasses.dataclass
+class Config:
+    """Top-level hierarchy parameters (reference common/hierarchy.hpp:159-236).
+
+    max_levels default 2 and is_preconditioner default True match
+    hierarchy.hpp:168-172.  fast_ap selects the matrix-free construction of
+    A·Rᵀ from per-agglomerate pieces (dealii_hierarchy_helpers.cc:77-288).
+    """
+
+    max_levels: int = 2
+    is_preconditioner: bool = True
+    fast_ap: bool = False
+    eigensolver: EigensolverConfig = dataclasses.field(default_factory=EigensolverConfig)
+    smoother: SmootherConfig = dataclasses.field(default_factory=SmootherConfig)
+    coarse: CoarseConfig = dataclasses.field(default_factory=CoarseConfig)
+    agglomeration: AgglomerationConfig = dataclasses.field(default_factory=AgglomerationConfig)
+    # Operator representation for the fine level: "ell" (assembled sparse,
+    # analog of the reference's matrix path) or "matrix_free" (cell-local
+    # apply, analog of DealIIMatrixFreeOperator).
+    operator: str = "ell"
+    # Device compute dtype for the apply path ("float32"/"float64"/"bfloat16").
+    # Setup always runs in float64 on host.
+    dtype: str = "float64"
+
+    @staticmethod
+    def from_dict(d: dict) -> "Config":
+        """Build a Config from a nested dict using mfmg's .info key names."""
+        cfg = Config()
+        cfg.max_levels = int(d.get("max levels", d.get("max_levels", cfg.max_levels)))
+        cfg.is_preconditioner = _to_bool(d.get("is preconditioner", d.get("is_preconditioner", cfg.is_preconditioner)))
+        cfg.fast_ap = _to_bool(d.get("fast_ap", cfg.fast_ap))
+        cfg.operator = d.get("operator", cfg.operator)
+        cfg.dtype = d.get("dtype", cfg.dtype)
+        e = d.get("eigensolver", {})
+        cfg.eigensolver = EigensolverConfig(
+            type=_canonical_eigensolver(e.get("type", cfg.eigensolver.type)),
+            n_eigenvectors=int(e.get("number of eigenvectors", e.get("n_eigenvectors", 2))),
+            tolerance=float(e.get("tolerance", 1e-14)),
+            max_iterations=int(e.get("max_iterations", 200)),
+            percent_overshoot=int(e.get("percent_overshoot", 5)),
+            is_deflated=_to_bool(e.get("is_deflated", False)),
+            num_cycles=int(e.get("num_cycles", 1)),
+            num_eigenpairs_per_cycle=int(e.get("num_eigenpairs_per_cycle", 1)),
+            use_initial_guess=_to_bool(e.get("use_initial_guess", False)),
+        )
+        s = d.get("smoother", {})
+        cfg.smoother = SmootherConfig(
+            type=s.get("type", cfg.smoother.type).strip().lower(),
+            n_smoothing_steps=int(s.get("n_smoothing_steps", 1)),
+            degree=int(s.get("degree", 1)),
+            smoothing_range=float(s.get("smoothing_range", 0.0)),
+            max_eigenvalue=(float(s["max_eigenvalue"]) if "max_eigenvalue" in s else None),
+        )
+        c = d.get("coarse", {})
+        cfg.coarse = CoarseConfig(type=c.get("type", cfg.coarse.type).strip().lower())
+        a = d.get("agglomeration", {})
+        cfg.agglomeration = AgglomerationConfig(
+            partitioner=a.get("partitioner", "block"),
+            nx=int(a.get("nx", 2)),
+            ny=int(a.get("ny", 2)),
+            nz=int(a.get("nz", 2)),
+            n_agglomerates=int(a.get("n_agglomerates", 4)),
+        )
+        return cfg
+
+
+def _to_bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    return str(v).strip().lower() in ("true", "1", "yes", "on")
+
+
+def _canonical_eigensolver(name: str) -> str:
+    """Map reference eigensolver names onto the TPU-native implementations.
+
+    arpack (shift-invert Arnoldi) and anasazi (LOBPCG) have no TPU-native
+    equivalent; both target the same smallest eigenpairs, which the batched
+    dense path computes exactly, so they alias to "lapack".
+    """
+    name = name.strip().lower()
+    if name in ("arpack", "anasazi"):
+        return "lapack"
+    return name

@@ -1,0 +1,85 @@
+"""Batched dense symmetric eigensolver for agglomerate coarse spaces.
+
+TPU-native analog of the reference "lapack" eigensolver path
+(dealii/amge_host.templates.hpp:446-467) and the cuSOLVER sygvd path
+(cuda/amge_device.templates.cuh:86-172): instead of one dense eigensolve per
+agglomerate in a thread/stream loop, the whole padded batch is solved at once.
+
+Reference semantics reproduced exactly (amge_host.templates.hpp:384-394):
+  * the diagonal is shifted by the mean diagonal to move eigenvalues away
+    from zero (the shift changes eigenvalues, never eigenvectors),
+  * constrained (Dirichlet) dofs get their diagonal pinned to 200 so their
+    decoupled eigenvectors sort far above the physical smallest modes,
+  * the n_ev smallest eigenpairs are kept; eigenvalues are un-shifted.
+
+Padding dofs get a diagonal of PAD_VALUE so their (exactly decoupled) unit
+eigenvectors sort above everything real.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mfmg_tpu.amge.local_problems import AgglomerateBatch
+
+PAD_VALUE = 1.0e12
+CONSTRAINED_DIAG = 200.0  # amge_host.templates.hpp:393
+
+
+def batched_smallest_eigenpairs(batch: AgglomerateBatch, n_ev: int,
+                                constrained_mode: str = "pin",
+                                use_device: bool = False):
+    """Returns (eigenvalues (n_agg, n_ev), eigenvectors (n_agg, m_max, n_ev)).
+
+    Eigenvectors are L2-normalized (eigh returns orthonormal columns), zero on
+    padding; components at constrained dofs are exactly zero (decoupled).
+
+    constrained_mode selects the reference path being reproduced:
+      * "pin": host matrix path — shift diagonal by its mean, pin constrained
+        dofs to 200 (amge_host.templates.hpp:384-394).  Constrained modes can
+        never enter the coarse space.
+      * "identity": matrix-free path — no shift, constrained dofs become
+        identity rows with diagonal exactly 1 (deal.II MatrixFree convention;
+        what the reference's MF Lanczos operates on).  This is the convention
+        behind the reference's matrix-free golden rates.
+      * "raw": device path — no shift, constrained diagonal keeps its
+        assembled value (amge_device.templates.cuh:232-285).  WARNING: for
+        boundary agglomerates the constrained eigenvalues form a degenerate
+        cluster inside the physical spectrum; the selected basis is then
+        LAPACK-dependent, as it is cusolver-dependent in the reference.
+
+    use_device=True runs jnp.linalg.eigh (batched on the accelerator) — useful
+    when agglomerates are large; default is host LAPACK in float64.
+    """
+    n_agg, m_max = batch.dof_map.shape
+    if np.any(batch.sizes < n_ev):
+        raise ValueError("an agglomerate has fewer dofs than requested eigenvectors")
+
+    M = batch.A_agg.copy()
+    ar = np.arange(m_max)
+    if constrained_mode == "pin":
+        shifts = (batch.diag * batch.valid).sum(axis=1) / batch.sizes
+    elif constrained_mode in ("identity", "raw"):
+        shifts = np.zeros(n_agg)
+    else:
+        raise ValueError(f"unknown constrained_mode {constrained_mode!r}")
+    M[:, ar, ar] += shifts[:, None] * batch.valid
+    # Pin constrained dofs, padding higher than everything.
+    di = M[:, ar, ar]
+    if constrained_mode == "pin":
+        di = np.where(batch.constrained, CONSTRAINED_DIAG, di)
+    elif constrained_mode == "identity":
+        di = np.where(batch.constrained, 1.0, di)
+    di = np.where(~batch.valid, PAD_VALUE, di)
+    M[:, ar, ar] = di
+
+    if use_device:
+        import jax.numpy as jnp
+        w_j, v_j = jnp.linalg.eigh(jnp.asarray(M))
+        w, v = np.asarray(w_j), np.asarray(v_j)
+    else:
+        w, v = np.linalg.eigh(M)
+    evals = w[:, :n_ev] - shifts[:, None]
+    evecs = v[:, :, :n_ev]
+    evecs = evecs * batch.valid[:, :, None]
+    return evals, evecs

@@ -1,0 +1,114 @@
+"""Variable-coefficient Laplace problem: -div(c(x) grad u) = f, u=0 on boundary.
+
+The canonical problem family of the reference test suite
+(reference tests/laplace.hpp:43-292 matrix path, tests/laplace_matrix_free.hpp
+matrix-free path).  One object provides both representations of the same
+operator — assembled ELL/CSR and matrix-free — plus the raw diagonal used for
+the AMGe partition-of-unity weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from mfmg_tpu.fem import coefficients as coeff_mod
+from mfmg_tpu.fem.geometry import GeometryFactors, compute_geometry, local_mass_rhs, local_stiffness_matrices
+from mfmg_tpu.fem.mesh import Mesh, hyper_cube
+from mfmg_tpu.ops.local_apply import MatrixFreeOperator
+from mfmg_tpu.ops.sparse import ELLMatrix, assemble_csr, eliminate_dirichlet, ell_from_scipy
+
+
+@dataclasses.dataclass
+class LaplaceProblem:
+    mesh: Mesh
+    coefficient: Callable
+    geom: GeometryFactors = None
+    A_loc: np.ndarray = None          # (n_cells, n_loc, n_loc) cell matrices
+    A_raw: sp.csr_matrix = None       # assembled, no constraints
+    A: sp.csr_matrix = None           # assembled, Dirichlet-eliminated
+    diag_raw: np.ndarray = None       # raw (Neumann-assembled) global diagonal
+    coeff_at_q: np.ndarray = None
+
+    @staticmethod
+    def hyper_cube(dim: int, n_refinements: int, degree: int = 1,
+                   material_property: str | Callable = "constant",
+                   distort_random: bool = False, seed: int = 0) -> "LaplaceProblem":
+        """Problem on the unit hyper_cube (reference tests/laplace.hpp:88-111)."""
+        mesh = hyper_cube(dim, n_refinements, degree=degree,
+                          distort_random=distort_random, seed=seed)
+        return LaplaceProblem.from_mesh(mesh, material_property)
+
+    @staticmethod
+    def from_mesh(mesh: Mesh, material_property: str | Callable = "constant") -> "LaplaceProblem":
+        coefficient = (coeff_mod.get(material_property)
+                       if isinstance(material_property, str) else material_property)
+        prob = LaplaceProblem(mesh=mesh, coefficient=coefficient)
+        prob._setup()
+        return prob
+
+    def _setup(self):
+        self.geom = compute_geometry(self.mesh)
+        self.coeff_at_q = self.coefficient(self.geom.qpoints_phys)
+        self.A_loc = local_stiffness_matrices(self.mesh, self.geom, self.coeff_at_q)
+        self.A_raw = assemble_csr(self.mesh.cells, self.A_loc, self.mesh.n_nodes)
+        self.diag_raw = np.asarray(self.A_raw.diagonal())
+        self.A = eliminate_dirichlet(self.A_raw, self.mesh.boundary_dofs)
+
+    # -- operator representations ------------------------------------------
+    @property
+    def n_dofs(self) -> int:
+        return self.mesh.n_nodes
+
+    @property
+    def constrained(self) -> np.ndarray:
+        return self.mesh.boundary_dofs
+
+    def ell_operator(self, dtype=jnp.float64) -> ELLMatrix:
+        """Assembled-path operator (analog of DealIITrilinosMatrixOperator /
+        SparseMatrixDevice)."""
+        return ell_from_scipy(self.A, dtype=dtype)
+
+    def matrix_free_operator(self, dtype=jnp.float64, mode: str = "local_matrix") -> MatrixFreeOperator:
+        """Matrix-free operator (analog of DealIIMatrixFreeOperator vmult via
+        the user's matrix_free_evaluate_global)."""
+        if mode == "local_matrix":
+            return MatrixFreeOperator(
+                cells=jnp.asarray(self.mesh.cells),
+                constrained=jnp.asarray(self.mesh.boundary_dofs),
+                diag=jnp.asarray(self.diag_raw, dtype=dtype),
+                A_loc=jnp.asarray(self.A_loc, dtype=dtype),
+            )
+        elif mode == "quadrature":
+            return MatrixFreeOperator(
+                cells=jnp.asarray(self.mesh.cells),
+                constrained=jnp.asarray(self.mesh.boundary_dofs),
+                diag=jnp.asarray(self.diag_raw, dtype=dtype),
+                G=jnp.asarray(self.geom.G, dtype=dtype),
+                scale=jnp.asarray(self.geom.JxW * self.coeff_at_q, dtype=dtype),
+            )
+        raise ValueError(f"unknown matrix-free mode {mode!r}")
+
+    # -- rhs / error -------------------------------------------------------
+    def assemble_rhs(self, source: Callable) -> np.ndarray:
+        """Load vector for a source term; zero at Dirichlet dofs."""
+        f_at_q = source(self.geom.qpoints_phys)
+        rhs_loc = local_mass_rhs(self.mesh, self.geom, f_at_q)
+        rhs = np.zeros(self.n_dofs)
+        np.add.at(rhs, self.mesh.cells.reshape(-1), rhs_loc.reshape(-1))
+        rhs[self.mesh.boundary_dofs] = 0.0
+        return rhs
+
+    def l2_error(self, u: np.ndarray, exact: Callable) -> float:
+        """L2 norm of (u_h - exact) via the quadrature rule
+        (analog of dealii::VectorTools::integrate_difference, laplace.hpp:227-243)."""
+        from mfmg_tpu.fem.reference import reference_element
+        ref = reference_element(self.mesh.dim, self.mesh.degree)
+        u_loc = u[self.mesh.cells]                       # (c, nl)
+        u_at_q = np.einsum("qi,ci->cq", ref.N, u_loc)
+        diff = u_at_q - exact(self.geom.qpoints_phys)
+        return float(np.sqrt(np.sum(self.geom.JxW * diff**2)))
