@@ -106,7 +106,18 @@ class Hierarchy:
             smoother = build_smoother(op, cfg.smoother, dtype=self.dtype)
 
             R = self._build_restrictor(level)
-            A_coarse = (R @ self._A_per_level[level] @ R.T).tocsr()
+            if cfg.fast_ap and level == 0:
+                # matrix-free AP construction (hierarchy.hpp:214-227): build
+                # A·Rᵀ from per-agglomerate pieces, then one tall-skinny
+                # SpGEMM for R·AP — the global fine matrix is never multiplied.
+                from mfmg_tpu.amge.fast_ap import fast_multiply_transpose
+                batch, evals, evecs = self._level0_eigendata
+                AP = fast_multiply_transpose(problem.mesh, problem.A_loc,
+                                             self._level0_agg_ids, batch,
+                                             evals, evecs, problem.diag_raw)
+                A_coarse = (R @ AP).tocsr()
+            else:
+                A_coarse = (R @ self._A_per_level[level] @ R.T).tocsr()
             self._A_per_level.append(A_coarse)
 
             self.levels.append(LevelData(
@@ -130,6 +141,7 @@ class Hierarchy:
             batch = build_agglomerate_batch(problem.mesh, problem.A_loc, agg_ids)
             check_restriction(batch, problem.diag_raw, problem.n_dofs)
             evals, evecs = self._eigensolve(batch)
+            self._level0_agg_ids = agg_ids
             self._level0_eigendata = (batch, evals, evecs)
             return build_restriction(batch, evecs, problem.diag_raw, problem.n_dofs)
         # Algebraic coarsening of an already-coarse operator: group coarse

@@ -57,7 +57,93 @@ def build_agglomerate_batch(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray) 
     """Assemble local dense operators for every agglomerate.
 
     A_loc: (n_cells, n_loc, n_loc) cell stiffness matrices (raw / Neumann).
+
+    Structured meshes with uniform block agglomerates take a fully vectorized
+    path (every agglomerate shares one local index structure — the batching
+    the reference leaves as a TODO at amge_device.templates.cuh:391-392);
+    anything else falls back to the generic per-agglomerate loop.
     """
+    fast = _try_build_structured(mesh, A_loc, agg_ids)
+    if fast is not None:
+        return fast
+    return _build_generic(mesh, A_loc, agg_ids)
+
+
+def _try_build_structured(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray):
+    """Vectorized batch build for uniform blocks on a structured grid."""
+    if not mesh.is_structured:
+        return None
+    n_agg = int(agg_ids.max()) + 1
+    counts = np.bincount(agg_ids, minlength=n_agg)
+    if counts.min() != counts.max():
+        return None                       # ragged blocks -> generic path
+    nc = np.asarray(mesh.structured_shape)
+    dim, k = mesh.dim, mesh.degree
+    mi = mesh.cell_multi_index()          # (n_cells, dim)
+    # infer block dims: extent of agglomerate 0 in each direction
+    sel = agg_ids == agg_ids[0]
+    bdims = (mi[sel].max(axis=0) - mi[sel].min(axis=0) + 1)
+    if np.prod(bdims) != counts[0] or np.any(nc % bdims):
+        return None
+    # verify the id layout is the closed-form block partition
+    agg_mi = mi // bdims
+    n_agg_dim = nc // bdims
+    stride = np.cumprod(np.concatenate([[1], n_agg_dim[:-1]]))
+    if not np.array_equal(agg_ids, agg_mi @ stride):
+        return None
+
+    # Local structure shared by all agglomerates: cells inside a block and
+    # their dof->local-dof map, computed once.
+    m_dims = bdims * k + 1                # local nodes per dim
+    m = int(np.prod(m_dims))
+    n_loc = mesh.n_loc
+    from mfmg_tpu.fem.reference import reference_element
+    ref = reference_element(dim, k)
+    lm = ref.local_multi_index            # (n_loc, dim)
+    # block-local cell multi-indices, x fastest (same convention as agg_ids)
+    bc = np.stack(np.meshgrid(*[np.arange(b) for b in bdims], indexing="ij"),
+                  axis=-1).reshape(-1, dim, order="F")   # x fastest
+    lstride = np.cumprod(np.concatenate([[1], m_dims[:-1]]))
+    # local dof index of cell c, local node a
+    local_cells = ((bc[:, None, :] * k + lm[None, :, :]) @ lstride).astype(np.int64)
+
+    # cell ids per agglomerate in the same block-local order
+    gstride = np.cumprod(np.concatenate([[1], nc[:-1]]))
+    agg_origin_mi = np.stack(np.meshgrid(*[np.arange(a) for a in n_agg_dim], indexing="ij"),
+                             axis=-1).reshape(-1, dim, order="F") * bdims
+    cells_per_agg = (agg_origin_mi[:, None, :] + bc[None, :, :]) @ gstride  # (n_agg, n_bc)
+
+    # global dof map per agglomerate (lexicographic local order)
+    node_dims = nc * k + 1
+    nstride = np.cumprod(np.concatenate([[1], node_dims[:-1]]))
+    local_node_mi = np.stack(np.meshgrid(*[np.arange(md) for md in m_dims], indexing="ij"),
+                             axis=-1).reshape(-1, dim, order="F")   # x fastest
+    dof_map = ((agg_origin_mi * k)[:, None, :] + local_node_mi[None, :, :]) @ nstride
+
+    # batched dense assembly: one scatter-add over all agglomerates
+    A_agg = np.zeros((n_agg, m, m))
+    gi = np.broadcast_to(np.arange(n_agg)[:, None, None, None],
+                         (n_agg, len(bc), n_loc, n_loc))
+    rows = np.broadcast_to(local_cells[None, :, :, None], gi.shape)
+    cols = np.broadcast_to(local_cells[None, :, None, :], gi.shape)
+    np.add.at(A_agg, (gi.reshape(-1), rows.reshape(-1), cols.reshape(-1)),
+              A_loc[cells_per_agg].reshape(-1))
+
+    valid = np.ones((n_agg, m), dtype=bool)
+    diag = np.einsum("gii->gi", A_agg).copy()
+    constrained = mesh.boundary_dofs[dof_map]
+
+    keep = ~constrained
+    A_agg *= keep[:, :, None] * keep[:, None, :]
+    gi2, ii2 = np.nonzero(constrained)
+    A_agg[gi2, ii2, ii2] = diag[gi2, ii2]
+
+    return AgglomerateBatch(dof_map=dof_map, valid=valid, A_agg=A_agg,
+                            diag=diag, constrained=constrained,
+                            sizes=np.full(n_agg, m, dtype=np.int64))
+
+
+def _build_generic(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray) -> AgglomerateBatch:
     n_agg = int(agg_ids.max()) + 1
     n_loc = mesh.n_loc
 

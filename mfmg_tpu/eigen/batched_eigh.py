@@ -38,10 +38,14 @@ def batched_smallest_eigenpairs(batch: AgglomerateBatch, n_ev: int,
       * "pin": host matrix path — shift diagonal by its mean, pin constrained
         dofs to 200 (amge_host.templates.hpp:384-394).  Constrained modes can
         never enter the coarse space.
-      * "identity": matrix-free path — no shift, constrained dofs become
-        identity rows with diagonal exactly 1 (deal.II MatrixFree convention;
-        what the reference's MF Lanczos operates on).  This is the convention
-        behind the reference's matrix-free golden rates.
+      * "identity": matrix-free path — no diagonal shift (deal.II MatrixFree
+        convention; what the reference's MF Lanczos operates on).  Constrained
+        dofs are still pinned to 200: the reference leaves them at exactly 1,
+        which silently admits useless constrained unit vectors into the coarse
+        space whenever an agglomerate's physical spectrum crosses 1 (and makes
+        its own fast-AP identity inconsistent); pinning excludes them while
+        reproducing the reference's golden configurations, whose physical
+        eigenvalues all sit below 1.
       * "raw": device path — no shift, constrained diagonal keeps its
         assembled value (amge_device.templates.cuh:232-285).  WARNING: for
         boundary agglomerates the constrained eigenvalues form a degenerate
@@ -66,10 +70,8 @@ def batched_smallest_eigenpairs(batch: AgglomerateBatch, n_ev: int,
     M[:, ar, ar] += shifts[:, None] * batch.valid
     # Pin constrained dofs, padding higher than everything.
     di = M[:, ar, ar]
-    if constrained_mode == "pin":
+    if constrained_mode in ("pin", "identity"):
         di = np.where(batch.constrained, CONSTRAINED_DIAG, di)
-    elif constrained_mode == "identity":
-        di = np.where(batch.constrained, 1.0, di)
     di = np.where(~batch.valid, PAD_VALUE, di)
     M[:, ar, ar] = di
 
