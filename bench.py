@@ -3,10 +3,19 @@
 Prints ONE JSON line:
   {"metric": "vcycle_dof_per_s", "value": N, "unit": "DoF/s", "vs_baseline": N}
 
+Measurement methodology: N_CYCLES V-cycles inside ONE jitted lax.fori_loop —
+per-executable dispatch latency on the tunneled TPU runtime is large and
+wildly variable (0.03ms..70ms observed for the same op), so per-call timing is
+meaningless; a single-program loop measures true device throughput.
+
 The reference publishes no throughput numbers (BASELINE.md); vs_baseline is
-measured against BASELINE_DOF_S — pinned from this framework's first TPU v5e
-measurement — so the ratio tracks performance progress across rounds.
-Diagnostics go to stderr; stdout carries only the JSON line.
+measured against BASELINE_DOF_S, pinned from this framework's FIRST working
+implementation on this hardware (ELL gather SpMV + CG coarse, round 1:
+5.84e5 DoF/s), so the ratio tracks optimization progress across rounds.
+
+Config: 3D variable-coefficient Laplace, n_ref=6 (274625 dofs), Q1,
+4x4x4-cell agglomerates, 2 eigenvectors, Chebyshev(2) smoother, stencil
+operator + structured transfers + device-inverted dense coarse solve.
 """
 
 from __future__ import annotations
@@ -17,9 +26,7 @@ import time
 
 import numpy as np
 
-# First real-chip measurement (TPU v5e, 3D n_ref=6, Q1, matrix-free chebyshev
-# V-cycle, float32).  Updated only when the benchmark config changes.
-BASELINE_DOF_S = None  # round 1: establishes the baseline
+BASELINE_DOF_S = 5.843e5   # round-1 first implementation (ELL gather path)
 
 N_REF = 6
 N_CYCLES = 50
@@ -35,19 +42,18 @@ def main():
 
     t0 = time.perf_counter()
     from mfmg_tpu import Config, Hierarchy, LaplaceProblem
-    from mfmg_tpu.amge.hierarchy import vcycle
-    from mfmg_tpu.config import AgglomerationConfig, SmootherConfig
+    from mfmg_tpu.amge.hierarchy import _vcycle
+    from mfmg_tpu.config import AgglomerationConfig, CoarseConfig, SmootherConfig
     from mfmg_tpu.solve.operator import apply_op
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '')}")
 
     prob = LaplaceProblem.hyper_cube(3, N_REF, material_property="linear")
-    from mfmg_tpu.config import CoarseConfig
-    cfg = Config(operator="ell", dtype="float32",
+    cfg = Config(operator="stencil", dtype="float32",
                  smoother=SmootherConfig(type="chebyshev", degree=2),
                  agglomeration=AgglomerationConfig(nx=4, ny=4, nz=4),
-                 coarse=CoarseConfig(type="cg", tolerance=1e-6, max_iterations=100))
+                 coarse=CoarseConfig(type="direct"))
     hier = Hierarchy(prob, cfg)
     log(f"setup: n_dofs={prob.n_dofs} nnz={prob.A.nnz} "
         f"t={time.perf_counter()-t0:.1f}s")
@@ -56,42 +62,55 @@ def main():
     b = rng.uniform(size=prob.n_dofs).astype(np.float32)
     b[prob.constrained] = 0.0
     b = jnp.asarray(b)
-    x = jnp.zeros_like(b)
 
+    levels = tuple(hier.levels)
     nss = cfg.smoother.n_smoothing_steps
 
-    def one_cycle(levels, b, x):
-        return vcycle(levels, b, x, n_smoothing_steps=nss, is_preconditioner=False)
+    # NOTE: level arrays are jit ARGUMENTS, not closure constants — closure
+    # constants get embedded in the program and overflow the remote-compile
+    # request on tunneled runtimes (HTTP 413 observed).
+    @jax.jit
+    def cycles(levels, b, x):
+        def body(i, x):
+            return _vcycle(levels, b, x, 0, nss, False)
+        return jax.lax.fori_loop(0, N_CYCLES, body, x)
 
-    # warmup / compile
-    x = one_cycle(hier.levels, b, x)
+    x = cycles(levels, b, jnp.zeros_like(b))
     jax.block_until_ready(x)
     t0 = time.perf_counter()
-    for _ in range(N_CYCLES):
-        x = one_cycle(hier.levels, b, x)
+    x = cycles(levels, b, jnp.zeros_like(b))
     jax.block_until_ready(x)
-    dt = time.perf_counter() - t0
-    dof_s = prob.n_dofs * N_CYCLES / dt
-    log(f"vcycle: {dt/N_CYCLES*1e3:.3f} ms/cycle -> {dof_s:.3e} DoF/s")
+    dt = (time.perf_counter() - t0) / N_CYCLES
+    dof_s = prob.n_dofs / dt
+    log(f"vcycle: {dt*1e3:.3f} ms/cycle -> {dof_s:.3e} DoF/s")
 
-    # SpMV nnz/s on the fine operator
-    A = hier.levels[0].op
-    y = apply_op(A, b)
+    # SpMV nnz/s on the fine stencil operator, same single-program method
+    op = levels[0].op
+
+    @jax.jit
+    def spmvs(op, x):
+        return jax.lax.fori_loop(0, N_CYCLES, lambda i, y: apply_op(op, y), x)
+
+    y = spmvs(op, b)
     jax.block_until_ready(y)
     t0 = time.perf_counter()
-    for _ in range(100):
-        y = apply_op(A, y / (jnp.linalg.norm(y) + 1.0))
+    y = spmvs(op, b)
     jax.block_until_ready(y)
-    spmv_dt = (time.perf_counter() - t0) / 100
+    spmv_dt = (time.perf_counter() - t0) / N_CYCLES
     nnz_s = prob.A.nnz / spmv_dt
     log(f"spmv: {spmv_dt*1e3:.3f} ms -> {nnz_s:.3e} nnz/s")
 
-    vs = 1.0 if BASELINE_DOF_S is None else dof_s / BASELINE_DOF_S
+    # solution sanity: preconditioned CG converges
+    xs, info = hier.solve_cg(b, tol=1e-5, maxiter=50)
+    iters = int(info["iterations"])
+    log(f"pcg: {iters} iterations, relres {float(info['relres']):.2e}")
+
     print(json.dumps({"metric": "vcycle_dof_per_s", "value": dof_s,
-                      "unit": "DoF/s", "vs_baseline": vs,
+                      "unit": "DoF/s", "vs_baseline": dof_s / BASELINE_DOF_S,
                       "extra": {"spmv_nnz_per_s": nnz_s,
                                 "n_dofs": prob.n_dofs,
-                                "ms_per_vcycle": dt / N_CYCLES * 1e3}}))
+                                "ms_per_vcycle": dt * 1e3,
+                                "pcg_iterations": iters}}))
 
 
 if __name__ == "__main__":

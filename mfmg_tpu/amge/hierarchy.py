@@ -41,11 +41,20 @@ from mfmg_tpu.solve.smoothers import build_smoother
 class LevelData:
     """Per-level state (analog of mfmg::Level, common/level.hpp:22-77)."""
 
-    op: object                           # ELLMatrix | MatrixFreeOperator
+    op: object                           # ELLMatrix | MatrixFreeOperator | StencilOperator
     smoother: object = None              # None on the coarsest level
     R: Optional[ELLMatrix] = None        # restriction INTO this level's coarse
     RT: Optional[ELLMatrix] = None       # prolongation (R transpose)
+    transfer: object = None              # StructuredTransfer (gather-free path)
     coarse: object = None                # coarse solver on the coarsest level
+
+
+def _restrict(lvl, res):
+    return lvl.transfer.restrict(res) if lvl.transfer is not None else lvl.R @ res
+
+
+def _prolong(lvl, xc):
+    return lvl.transfer.prolong(xc) if lvl.transfer is not None else lvl.RT @ xc
 
 
 def _vcycle(levels, b, x, level, n_smoothing_steps, is_preconditioner):
@@ -59,10 +68,10 @@ def _vcycle(levels, b, x, level, n_smoothing_steps, is_preconditioner):
         x = lvl.smoother.apply(lvl.op, b, x)
     # negative residual: res = A x - b (hierarchy.hpp:282-286)
     res = apply_op(lvl.op, x) - b
-    b_coarse = lvl.R @ res
+    b_coarse = _restrict(lvl, res)
     x_coarse = _vcycle(levels, b_coarse, jnp.zeros_like(b_coarse), level + 1,
                        n_smoothing_steps, is_preconditioner)
-    x = x - lvl.RT @ x_coarse
+    x = x - _prolong(lvl, x_coarse)
     for _ in range(n_smoothing_steps):
         x = lvl.smoother.apply(lvl.op, b, x)
     return x
@@ -77,6 +86,8 @@ class Hierarchy:
     """Public entry point — ctor runs the full setup (hierarchy.hpp:159-236)."""
 
     def __init__(self, problem, config: Config | None = None):
+        from mfmg_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
         self.config = config or Config()
         self.problem = problem
         self.dtype = jnp.dtype(self.config.dtype)
@@ -85,11 +96,25 @@ class Hierarchy:
 
     # ------------------------------------------------------------- setup --
     def _setup(self):
+        import os, sys, time as _time
+        verbose = bool(os.environ.get("MFMG_TPU_VERBOSE"))
+        _t = [_time.perf_counter()]
+
+        def _mark(name):
+            if verbose:
+                now = _time.perf_counter()
+                print(f"[mfmg_tpu setup] {name}: {now - _t[0]:.1f}s",
+                      file=sys.stderr, flush=True)
+                _t[0] = now
+
         cfg = self.config
         problem = self.problem
 
         if cfg.operator == "matrix_free":
             fine_op = problem.matrix_free_operator(dtype=self.dtype)
+        elif cfg.operator == "stencil":
+            from mfmg_tpu.ops.stencil import stencil_from_csr
+            fine_op = stencil_from_csr(problem.A, problem.mesh, dtype=self.dtype)
         else:
             fine_op = problem.ell_operator(dtype=self.dtype)
 
@@ -98,14 +123,19 @@ class Hierarchy:
         self._A_per_level = [A_scipy]
 
         op = fine_op
+        _mark("fine operator")
         for level in range(num_levels):
             if level == num_levels - 1:
                 coarse = build_coarse_solver(self._A_per_level[level], cfg.coarse, dtype=self.dtype)
+                _mark(f"coarse solver (n={self._A_per_level[level].shape[0]})")
                 self.levels.append(LevelData(op=op, coarse=coarse))
                 break
-            smoother = build_smoother(op, cfg.smoother, dtype=self.dtype)
+            smoother = build_smoother(op, cfg.smoother, dtype=self.dtype,
+                                      A_scipy=self._A_per_level[level])
+            _mark(f"smoother L{level}")
 
             R = self._build_restrictor(level)
+            _mark(f"restrictor L{level}")
             if cfg.fast_ap and level == 0:
                 # matrix-free AP construction (hierarchy.hpp:214-227): build
                 # A·Rᵀ from per-agglomerate pieces, then one tall-skinny
@@ -119,13 +149,25 @@ class Hierarchy:
             else:
                 A_coarse = (R @ self._A_per_level[level] @ R.T).tocsr()
             self._A_per_level.append(A_coarse)
+            _mark(f"galerkin product L{level}")
 
-            self.levels.append(LevelData(
-                op=op,
-                smoother=smoother,
-                R=ell_from_scipy(R, dtype=self.dtype),
-                RT=ell_from_scipy(R.T.tocsr(), dtype=self.dtype),
-            ))
+            transfer = None
+            if level == 0 and cfg.operator == "stencil":
+                from mfmg_tpu.ops.structured_transfer import structured_transfer_from_batch
+                batch, _, evecs = self._level0_eigendata
+                transfer = structured_transfer_from_batch(
+                    self.problem.mesh, batch, evecs, self.problem.diag_raw,
+                    dtype=self.dtype)
+            if transfer is not None:
+                self.levels.append(LevelData(op=op, smoother=smoother,
+                                             transfer=transfer))
+            else:
+                self.levels.append(LevelData(
+                    op=op,
+                    smoother=smoother,
+                    R=ell_from_scipy(R, dtype=self.dtype),
+                    RT=ell_from_scipy(R.T.tocsr(), dtype=self.dtype),
+                ))
             op = ell_from_scipy(A_coarse, dtype=self.dtype)
 
     def _build_restrictor(self, level: int) -> sp.csr_matrix:
@@ -164,9 +206,13 @@ class Hierarchy:
     def _eigensolve(self, batch):
         cfg = self.config.eigensolver
         mode = self._constrained_mode()
+        use_device = cfg.backend == "device" or (
+            cfg.backend == "auto" and batch.n_agg >= 1024
+            and self.dtype != jnp.float64)
         if cfg.type == "lapack":
             return batched_smallest_eigenpairs(batch, cfg.n_eigenvectors,
-                                               constrained_mode=mode)
+                                               constrained_mode=mode,
+                                               use_device=use_device)
         if cfg.type == "lanczos":
             from mfmg_tpu.eigen.lanczos import batched_lanczos_smallest
             return batched_lanczos_smallest(batch, cfg, constrained_mode=mode)

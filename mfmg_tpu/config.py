@@ -32,6 +32,11 @@ class EigensolverConfig:
     # = shift + diag 200; matrix-free path -> "identity" = diag 1); "raw"
     # reproduces the reference CUDA path (fragile, see eigen/batched_eigh.py).
     constrained_mode: str = "auto"
+    # Where to run the batched dense eigensolve: "host" (LAPACK, float64),
+    # "device" (jnp.linalg.eigh on the accelerator — much faster for large
+    # batches, float32 on TPU), or "auto" (device when the batch is large and
+    # the hierarchy dtype is not float64).
+    backend: str = "auto"
     n_eigenvectors: int = 2            # "number of eigenvectors"
     tolerance: float = 1e-14
     max_iterations: int = 200

@@ -1,0 +1,94 @@
+"""hierarchy_driver: the CLI benchmark app.
+
+Analog of the reference's tests/hierarchy_driver.cc: reads an mfmg-style
+.info config, builds the Laplace problem + hierarchy, and either runs
+hierarchy-preconditioned CG (printing the iteration count,
+hierarchy_driver.cc:104-116) or 20 standalone V-cycles (printing the
+asymptotic convergence rate, hierarchy_driver.cc:75-102).
+
+    python -m mfmg_tpu.driver -f input.info -d 3 [--solve] [-t 1e-6]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-f", "--file", help="mfmg-style .info (or .json) config file")
+    p.add_argument("-d", "--dim", type=int, default=2)
+    p.add_argument("-m", "--matrix-free", action="store_true",
+                   help="use the matrix-free operator path")
+    p.add_argument("--operator", default=None,
+                   help="operator representation: ell | stencil | matrix_free")
+    p.add_argument("-t", "--tolerance", type=float, default=1e-6)
+    p.add_argument("--solve", action="store_true",
+                   help="CG-preconditioner mode (default: 20 V-cycles + rate)")
+    p.add_argument("--n-refinements", type=int, default=None)
+    p.add_argument("--dtype", default=None)
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+    from mfmg_tpu import Config, Hierarchy, LaplaceProblem
+    from mfmg_tpu.amge.hierarchy import measure_vcycle_rate
+    from mfmg_tpu.utils.timer import TimerOutput
+
+    cfg_dict = {}
+    if args.file:
+        if args.file.endswith(".json"):
+            import json
+            with open(args.file) as f:
+                cfg_dict = json.load(f)
+        else:
+            from mfmg_tpu.utils.info_parser import load_info
+            cfg_dict = load_info(args.file)
+    cfg = Config.from_dict(cfg_dict)
+    if args.matrix_free:
+        cfg.operator = "matrix_free"
+        if cfg.smoother.type == "jacobi":
+            cfg.smoother.type = "chebyshev"
+    if args.operator:
+        cfg.operator = args.operator
+    if args.dtype:
+        cfg.dtype = args.dtype
+
+    laplace = cfg_dict.get("laplace", {})
+    n_ref = args.n_refinements or int(laplace.get("n_refinements", 3))
+    material = cfg_dict.get("material_property", {}).get("type", "constant")
+
+    timer = TimerOutput()
+    with timer.section("Setup: problem"):
+        prob = LaplaceProblem.hyper_cube(
+            args.dim, n_ref, material_property=material,
+            distort_random=str(laplace.get("distort_random", "false")).lower() == "true")
+    with timer.section("Setup: hierarchy"):
+        hier = Hierarchy(prob, cfg)
+
+    print(f"n_dofs: {prob.n_dofs}  levels: {len(hier.levels)}  "
+          f"grid complexity: {hier.grid_complexity():.3f}  "
+          f"operator complexity: {hier.operator_complexity():.3f}")
+
+    rng = np.random.default_rng(0)
+    if args.solve:
+        b = rng.uniform(size=prob.n_dofs)
+        b[prob.constrained] = 0.0
+        with timer.section("Apply: CG solve"):
+            x, info = hier.solve_cg(jnp.asarray(b, dtype=hier.dtype),
+                                    tol=args.tolerance)
+        print(f"Solved in {int(info['iterations'])} iterations, "
+              f"relative residual {float(info['relres']):.3e}")
+    else:
+        with timer.section("Apply: 20 V-cycles"):
+            rate = measure_vcycle_rate(hier, n_cycles=20, seed=0)
+        print(f"Convergence rate: {rate:.10f}")
+
+    print(timer.summary())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -12,8 +12,9 @@ Reference semantics reproduced exactly (amge_host.templates.hpp:384-394):
     decoupled eigenvectors sort far above the physical smallest modes,
   * the n_ev smallest eigenpairs are kept; eigenvalues are un-shifted.
 
-Padding dofs get a diagonal of PAD_VALUE so their (exactly decoupled) unit
-eigenvectors sort above everything real.
+Padding dofs get a diagonal ~100x above the largest physical entry so their
+(exactly decoupled) unit eigenvectors sort above everything real while keeping
+the dynamic range small enough for float32 device eigensolves.
 """
 
 from __future__ import annotations
@@ -22,7 +23,6 @@ import numpy as np
 
 from mfmg_tpu.amge.local_problems import AgglomerateBatch
 
-PAD_VALUE = 1.0e12
 CONSTRAINED_DIAG = 200.0  # amge_host.templates.hpp:393
 
 
@@ -72,13 +72,16 @@ def batched_smallest_eigenpairs(batch: AgglomerateBatch, n_ev: int,
     di = M[:, ar, ar]
     if constrained_mode in ("pin", "identity"):
         di = np.where(batch.constrained, CONSTRAINED_DIAG, di)
-    di = np.where(~batch.valid, PAD_VALUE, di)
+    pad_value = 100.0 * max(np.abs(M).max(), CONSTRAINED_DIAG)
+    di = np.where(~batch.valid, pad_value, di)
     M[:, ar, ar] = di
 
     if use_device:
+        import jax
         import jax.numpy as jnp
-        w_j, v_j = jnp.linalg.eigh(jnp.asarray(M))
-        w, v = np.asarray(w_j), np.asarray(v_j)
+        dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        w_j, v_j = jnp.linalg.eigh(jnp.asarray(M, dtype=dt))
+        w, v = np.asarray(w_j, dtype=np.float64), np.asarray(v_j, dtype=np.float64)
     else:
         w, v = np.linalg.eigh(M)
     evals = w[:, :n_ev] - shifts[:, None]

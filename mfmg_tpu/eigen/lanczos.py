@@ -233,7 +233,7 @@ def batched_lanczos_smallest(batch, eig_cfg, constrained_mode: str = "pin"):
     """
     import jax
     import jax.numpy as jnp
-    from mfmg_tpu.eigen.batched_eigh import PAD_VALUE, CONSTRAINED_DIAG
+    from mfmg_tpu.eigen.batched_eigh import CONSTRAINED_DIAG
 
     n_ev = eig_cfg.n_eigenvectors
     tol = max(eig_cfg.tolerance, 1e-4)      # reference tol floor, amge_host.templates.hpp:181
@@ -250,7 +250,8 @@ def batched_lanczos_smallest(batch, eig_cfg, constrained_mode: str = "pin"):
     di = M[:, ar, ar]
     if constrained_mode in ("pin", "identity"):
         di = np.where(batch.constrained, CONSTRAINED_DIAG, di)
-    di = np.where(~batch.valid, PAD_VALUE, di)
+    pad_value = 100.0 * max(np.abs(M).max(), CONSTRAINED_DIAG)
+    di = np.where(~batch.valid, pad_value, di)
     M[:, ar, ar] = di
 
     # The Krylov space of agglomerate g has dimension sizes[g] (padding dims

@@ -1,0 +1,119 @@
+"""Gather-free stencil operator for structured meshes.
+
+XLA's TPU gather lowers to a scalar loop, which makes ELL SpMV ~1000x slower
+than the memory bound (measured 55 ms for 6.5M nnz on v5e).  On a structured
+Q_k grid the assembled Laplace operator is a (2k+1)^dim stencil with
+variable coefficients:
+
+    y[i] = sum_o C_o[i] * x[i + o]
+
+so the SpMV becomes (2k+1)^dim shifted static slices + fused multiply-adds —
+pure VPU work streaming coefficient planes from HBM at full bandwidth, the
+TPU-native analog of the reference's matrix-free FEEvaluation cell loop
+(laplace_matrix_free.hpp:129-156) and of cuSPARSE csrmv on its device path.
+
+The stencil values are extracted exactly from the assembled (Dirichlet-
+eliminated) CSR matrix, so `StencilOperator @ x == A @ x` to roundoff.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from mfmg_tpu.fem.mesh import Mesh
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StencilOperator:
+    """coeffs: (n_offsets,) + grid_shape arrays; offsets static metadata.
+
+    grid_shape is (n1_last, ..., n1_x) — C-order node grid (x fastest in the
+    flat dof id).  offsets[o] is the per-axis shift in the same axis order.
+    """
+
+    coeffs: jax.Array
+    offsets: tuple = dataclasses.field(metadata=dict(static=True))
+    grid_shape: tuple = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        n = int(np.prod(self.grid_shape))
+        return (n, n)
+
+    def __matmul__(self, x):
+        return stencil_apply(self, x)
+
+
+@jax.jit
+def stencil_apply(op: StencilOperator, x: jax.Array) -> jax.Array:
+    """y = sum_o C_o * shift(x, o), as one fused elementwise expression.
+
+    x is zero-padded once by the stencil radius; every shifted read is then a
+    static full-shape slice, so the whole sum is a single XLA fusion with no
+    scatter/dynamic-update semantics (an `.at[].add` formulation compiles to
+    dozens of unfused kernels inside larger programs — 30x slower measured).
+    Out-of-domain reads hit the zero padding and the corresponding stencil
+    coefficients are zero anyway (no such matrix entries exist).
+    """
+    k = max(max(abs(o) for o in off) for off in op.offsets)
+    xg = x.reshape(op.grid_shape)
+    xp = jnp.pad(xg, k)
+    terms = []
+    for i, off in enumerate(op.offsets):
+        sl = tuple(slice(k + o, k + o + n) for o, n in zip(off, op.grid_shape))
+        terms.append(op.coeffs[i] * xp[sl])
+    y = terms[0]
+    for t in terms[1:]:
+        y = y + t
+    return y.reshape(x.shape)
+
+
+def stencil_from_csr(A: sp.spmatrix, mesh: Mesh, dtype=jnp.float32) -> StencilOperator:
+    """Exact stencil extraction from an assembled matrix on a structured mesh."""
+    if not mesh.is_structured:
+        raise ValueError("stencil operator requires a structured mesh")
+    k = mesh.degree
+    nc = mesh.structured_shape
+    dim = mesh.dim
+    n1 = tuple(k * c + 1 for c in nc)          # nodes per dim, x first
+    grid_shape = tuple(reversed(n1))           # C-order: (z, y, x)
+
+    A = sp.coo_matrix(A)
+    # decode per-axis offset of each entry from row/col multi-indices (x fastest)
+    def multi(idx):
+        out = []
+        rem = idx.copy()
+        for d in range(dim):
+            out.append(rem % n1[d])
+            rem = rem // n1[d]
+        return np.stack(out, axis=-1)          # (..., dim) x first
+
+    mr, mc = multi(A.row), multi(A.col)
+    diff = mc - mr                             # per-axis offsets, x first
+    if np.abs(diff).max() > k:
+        raise ValueError("matrix has entries outside the (2k+1)^dim stencil")
+
+    offsets = list(itertools.product(*[range(-k, k + 1)] * dim))  # (z,...,x) order
+    # offset id from diff (x first -> reverse to match offsets tuple order)
+    diff_rev = diff[:, ::-1]                   # (nnz, dim) in (z, y, x) order
+    oid = np.zeros(len(A.data), dtype=np.int64)
+    for d in range(dim):
+        oid = oid * (2 * k + 1) + (diff_rev[:, d] + k)
+
+    coeffs = np.zeros((len(offsets), int(np.prod(n1))))
+    np.add.at(coeffs, (oid, A.row), A.data)
+    coeffs = coeffs.reshape((len(offsets),) + grid_shape)
+
+    # drop all-zero offset planes (corners of the stencil box absent in Q1 2D etc.)
+    nonzero = [i for i in range(len(offsets)) if np.any(coeffs[i])]
+    coeffs = coeffs[nonzero]
+    offsets = tuple(offsets[i] for i in nonzero)
+    return StencilOperator(coeffs=jnp.asarray(coeffs, dtype=dtype),
+                           offsets=offsets, grid_shape=grid_shape)

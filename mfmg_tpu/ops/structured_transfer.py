@@ -1,0 +1,160 @@
+"""Gather-free restriction/prolongation for structured block agglomerates.
+
+On a structured grid with uniform block agglomerates, the AMGe restriction is
+a strided-window operation: coarse dof (agglomerate a, eigenvector e) reads
+the fine grid window starting at a*s of width s+1 (windows overlap by one
+node plane).  Both directions become static strided slices + small einsums —
+no gathers, no scatters — the transfer-operator counterpart of the stencil
+SpMV:
+
+  restrict:  out[e, a] = sum_t W[e, t, a] * x[a*s + t]
+  prolong:   y[a*s + t] += sum_e W[e, t, a] * xc[e, a]   (overlap-add)
+
+The overlap-add is materialized scatter-free by accumulating, for every
+within-block position t < s, the contributions of the 2^dim neighboring
+window corners, then a transpose+reshape writes the whole grid at once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StructuredTransfer:
+    """W: (n_ev,) + window_shape + agg_shape weights (C-order, z..x axes).
+
+    window_shape = s+1 per axis; agg_shape = blocks per axis;
+    grid_shape = s*agg+1 per axis (the fine node grid).
+    Coarse vector layout: flat index = e + n_ev*(ax + nax*(ay + nay*az))
+    i.e. a C-order (az, ay, ax, e) array — matching the CSR restriction's
+    (agglomerate, eigenvector) row order with x-fastest agglomerate ids.
+    """
+
+    W: jax.Array
+    window_shape: tuple = dataclasses.field(metadata=dict(static=True))
+    agg_shape: tuple = dataclasses.field(metadata=dict(static=True))
+    grid_shape: tuple = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_ev(self):
+        return self.W.shape[0]
+
+    @property
+    def shape(self):
+        return (self.n_ev * int(np.prod(self.agg_shape)), int(np.prod(self.grid_shape)))
+
+    def restrict(self, x):
+        return structured_restrict(self, x)
+
+    def prolong(self, xc):
+        return structured_prolong(self, xc)
+
+
+def _window_slices(t, strides, agg_shape):
+    return tuple(slice(td, td + sd * (ad - 1) + 1, sd)
+                 for td, sd, ad in zip(t, strides, agg_shape))
+
+
+@jax.jit
+def structured_restrict(tr: StructuredTransfer, x: jax.Array) -> jax.Array:
+    dim = len(tr.agg_shape)
+    strides = tuple(w - 1 for w in tr.window_shape)
+    xg = x.reshape(tr.grid_shape)
+    out = jnp.zeros((tr.n_ev,) + tr.agg_shape, dtype=x.dtype)
+    for t in itertools.product(*[range(w) for w in tr.window_shape]):
+        xs = xg[_window_slices(t, strides, tr.agg_shape)]
+        out = out + tr.W[(slice(None),) + t] * xs[None]
+    # (e, az, ay, ax) -> (az, ay, ax, e) flat
+    perm = tuple(range(1, dim + 1)) + (0,)
+    return out.transpose(perm).reshape(-1)
+
+
+@jax.jit
+def structured_prolong(tr: StructuredTransfer, xc: jax.Array) -> jax.Array:
+    dim = len(tr.agg_shape)
+    strides = tuple(w - 1 for w in tr.window_shape)
+    na = tr.agg_shape
+    # coarse vector -> (e, az, ay, ax)
+    xcg = xc.reshape(na + (tr.n_ev,))
+    perm = (dim,) + tuple(range(dim))
+    xcg = xcg.transpose(perm)
+    # per-window contributions C[t, a] = sum_e W[e,t,a] * xc[e,a]
+    C = jnp.einsum("e...,e...->...", tr.W.reshape((tr.n_ev, -1) + na),
+                   xcg[:, None])                      # (n_t, az, ay, ax)
+    C = C.reshape(tr.window_shape + na)
+
+    # Overlap-add into the extended block grid: D[t<s, a in [0..na]] where
+    # each corner subset S contributes C[t with t_d = s_d for d in S] shifted
+    # one block along the axes in S.
+    D = jnp.zeros(strides + tuple(a + 1 for a in na), dtype=xc.dtype)
+    for S in itertools.product(*[(False, True)] * dim):
+        t_sel = tuple(slice(sd, sd + 1) if inS else slice(0, sd)
+                      for sd, inS in zip(strides, S))
+        piece = C[t_sel]
+        pad = [( (0, 0) )] * dim + [((1, 0) if inS else (0, 1)) for inS in S]
+        piece = jnp.pad(piece, pad)
+        dst = tuple(slice(0, 1) if inS else slice(None) for inS in S)
+        D = D.at[dst].add(piece)
+    # (tz, ty, tx, az+1, ay+1, ax+1) -> (az+1, tz, ay+1, ty, ax+1, tx)
+    order = []
+    for d in range(dim):
+        order.extend([dim + d, d])
+    D = D.transpose(order)
+    y_ext = D.reshape(tuple((a + 1) * s for a, s in zip(na, strides)))
+    return y_ext[tuple(slice(0, g) for g in tr.grid_shape)].reshape(-1)
+
+
+def structured_transfer_from_batch(mesh, batch, evecs, global_diag,
+                                   dtype=jnp.float32):
+    """Build the windowed-weight transfer from the structured agglomerate
+    batch (same math as amge.restriction.build_restriction: W = PoU weight
+    times eigenvector)."""
+    if not mesh.is_structured:
+        return None
+    dim, k = mesh.dim, mesh.degree
+    nc = np.asarray(mesh.structured_shape)
+    n_agg, m, n_ev = evecs.shape
+    if not np.all(batch.valid):
+        return None                        # uniform blocks only
+    # infer block dims from window size: m = prod(b*k+1)
+    # agg grid dims from count; block dims from first agglomerate's dof extent
+    mi = mesh.cell_multi_index()
+    sel = np.nonzero(batch.dof_map[0] >= 0)[0]
+    # use the dof_map extents along each axis
+    n1 = nc * k + 1
+    dof0 = batch.dof_map[0]
+    mx = []
+    rem = dof0.copy()
+    coords = []
+    for d in range(dim):
+        coords.append(rem % n1[d])
+        rem = rem // n1[d]
+    coords = np.stack(coords, axis=-1)
+    wdims = coords.max(axis=0) - coords.min(axis=0) + 1   # window per axis, x first
+    if int(np.prod(wdims)) != m:
+        return None
+    strides = wdims - 1
+    if np.any(strides < 1) or np.any((n1 - 1) % strides):
+        return None
+    na = (n1 - 1) // strides                              # aggs per axis, x first
+    if int(np.prod(na)) != n_agg:
+        return None
+
+    w = batch.diag / global_diag[batch.dof_map]
+    Wfull = w[:, :, None] * evecs                         # (n_agg, m, n_ev)
+    # reorder: n_agg (x fastest) -> (az, ay, ax); m (x fastest) -> (tz, ty, tx)
+    Wfull = Wfull.reshape(tuple(na[::-1]) + tuple(wdims[::-1]) + (n_ev,))
+    # current axes: (az, ay, ax, tz, ty, tx, e) -> (e, tz, ty, tx, az, ay, ax)
+    Wfull = np.moveaxis(Wfull, -1, 0)
+    Wfull = np.moveaxis(Wfull, list(range(1 + dim, 1 + 2 * dim)), list(range(1, 1 + dim)))
+    return StructuredTransfer(W=jnp.asarray(Wfull, dtype=dtype),
+                              window_shape=tuple(int(v) for v in wdims[::-1]),
+                              agg_shape=tuple(int(v) for v in na[::-1]),
+                              grid_shape=tuple(int(v) for v in n1[::-1]))

@@ -60,9 +60,25 @@ def build_coarse_solver(A_c: sp.spmatrix, coarse_cfg, dtype=jnp.float64):
     ctype = coarse_cfg.type.strip().lower()
     if ctype in ("direct", "cholesky", "lu_dense", "ml", "amesos-klu"):
         Ad = np.asarray(A_c.todense())
-        # Symmetrize against assembly roundoff, eigendecompose, invert above a
-        # relative cutoff (rank-deficient coarse systems are consistent).
+        # Symmetrize against assembly roundoff.
         Ad = 0.5 * (Ad + Ad.T)
+        n = Ad.shape[0]
+        if n >= 2048 and dtype != jnp.float64:
+            # Large coarse problems: factor + invert on the accelerator
+            # (Cholesky + triangular solve vs I runs on the MXU in O(0.1s)
+            # where a host eigh takes minutes).  A tiny relative jitter keeps
+            # the factorization of consistent-singular coarse matrices stable.
+            import jax
+            Aj = jnp.asarray(Ad, dtype=jnp.float32)
+            jitter = 1e-6 * (jnp.trace(Aj) / n)
+            chol = jnp.linalg.cholesky(Aj + jitter * jnp.eye(n, dtype=jnp.float32))
+            inv = jax.scipy.linalg.cho_solve((chol, True), jnp.eye(n, dtype=jnp.float32))
+            if bool(jnp.any(~jnp.isfinite(inv))):
+                inv = None                # fall through to the host pinv
+            else:
+                return DirectCoarseSolver(inv=inv.astype(dtype))
+        # Eigendecompose, invert above a relative cutoff (rank-deficient
+        # coarse systems are consistent; see DirectCoarseSolver docstring).
         w, V = np.linalg.eigh(Ad)
         cut = w > 1e-10 * max(w[-1], 0.0)
         inv = (V[:, cut] / w[cut]) @ V[:, cut].T

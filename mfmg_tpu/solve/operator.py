@@ -19,6 +19,7 @@ def operator_diagonal(op):
     """Diagonal of an operator (for Jacobi/Chebyshev smoother setup)."""
     from mfmg_tpu.ops.local_apply import MatrixFreeOperator, mf_diagonal
     from mfmg_tpu.ops.sparse import ELLMatrix
+    from mfmg_tpu.ops.stencil import StencilOperator
 
     if isinstance(op, MatrixFreeOperator):
         return mf_diagonal(op)
@@ -26,4 +27,7 @@ def operator_diagonal(op):
         n = op.shape[0]
         rows = jnp.arange(n)[:, None]
         return jnp.sum(jnp.where(op.cols == rows, op.vals, 0.0), axis=1)
+    if isinstance(op, StencilOperator):
+        zero = op.offsets.index((0,) * len(op.grid_shape))
+        return op.coeffs[zero].reshape(-1)
     raise TypeError(f"unknown operator type {type(op)}")

@@ -21,6 +21,7 @@ TPU-native selection:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,38 @@ class JacobiSmoother:
         # x += omega * D^{-1} (b - A x)   [negative-residual form]
         r = apply_op(op, x) - b
         return x - self.omega * self.inv_diag * r
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MulticolorGSSmoother:
+    """Multicolor Gauss-Seidel — the TPU-native form of the reference's
+    (symmetric) Gauss-Seidel smoothers (dealii_smoother.cc:38-52).
+
+    Lexicographic GS is inherently sequential; coloring the structured grid so
+    same-color dofs never couple makes each color update an independent
+    vectorized Jacobi-like step, with the GS ordering carried between colors.
+    Rates differ slightly from lexicographic SGS (as any reordering does) but
+    retain GS-quality smoothing.  Cost: one operator apply per color (and per
+    sweep direction when symmetric).
+
+    colors: (n,) int32 color index per dof; n_colors static.
+    """
+
+    inv_diag: jax.Array
+    colors: jax.Array
+    n_colors: int = dataclasses.field(metadata=dict(static=True), default=2)
+    symmetric: bool = dataclasses.field(metadata=dict(static=True), default=True)
+
+    def apply(self, op, b, x):
+        order = list(range(self.n_colors))
+        if self.symmetric:
+            order = order + order[::-1]
+        for c in order:
+            r = apply_op(op, x) - b
+            mask = self.colors == c
+            x = jnp.where(mask, x - self.inv_diag * r, x)
+        return x
 
 
 @jax.tree_util.register_dataclass
@@ -81,63 +114,148 @@ def _chebyshev_vmult(sm: ChebyshevSmoother, op, src):
     return x
 
 
+def _color_operator(op):
+    """Distance-1 coloring of the operator graph.
+
+    Structured stencil operators use the closed-form lattice coloring
+    ((k+1) colors per axis); general operators use greedy graph coloring on
+    the host at setup.
+    """
+    from mfmg_tpu.ops.stencil import StencilOperator
+    from mfmg_tpu.ops.sparse import ELLMatrix
+
+    if isinstance(op, StencilOperator):
+        width = max(max(abs(o) for o in off) for off in op.offsets)
+        base = width + 1
+        shape = op.grid_shape
+        colors = np.zeros(shape, dtype=np.int64)
+        for d, n in enumerate(shape):
+            idx = np.arange(n) % base
+            colors = colors * base + idx.reshape((-1,) + (1,) * (len(shape) - d - 1))
+        colors = colors.reshape(-1)
+        # compress to used colors
+        _, colors = np.unique(colors, return_inverse=True)
+        return jnp.asarray(colors.astype(np.int32)), int(colors.max()) + 1
+    if isinstance(op, ELLMatrix):
+        vals = np.asarray(op.vals)
+        cols = np.asarray(op.cols)
+        n = vals.shape[0]
+        colors = -np.ones(n, dtype=np.int64)
+        for i in range(n):
+            nbr_colors = {int(colors[c]) for c, v in zip(cols[i], vals[i]) if v != 0 and c != i}
+            c = 0
+            while c in nbr_colors:
+                c += 1
+            colors[i] = c
+        return jnp.asarray(colors.astype(np.int32)), int(colors.max()) + 1
+    raise TypeError(f"cannot color operator type {type(op)}")
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def _lanczos_coeffs(op, sqrt_dinv, v0, n_iter: int):
+    """n_iter Lanczos steps on D^{-1/2} A D^{-1/2} as ONE device program
+    (eager per-iteration dispatch costs seconds-to-minutes on tunneled
+    runtimes).  Returns (alphas, betas)."""
+
+    def step(carry, _):
+        v, v_prev, beta = carry
+        w = sqrt_dinv * apply_op(op, sqrt_dinv * v)
+        alpha = jnp.vdot(v, w)
+        w = w - alpha * v - beta * v_prev
+        beta_new = jnp.linalg.norm(w)
+        safe = beta_new > 1e-30
+        v_next = jnp.where(safe, w / jnp.where(safe, beta_new, 1.0), v)
+        return (v_next, v, jnp.where(safe, beta_new, 0.0)), (alpha, beta_new)
+
+    v0 = v0 / jnp.linalg.norm(v0)
+    (_, _, _), (alphas, betas) = jax.lax.scan(
+        step, (v0, jnp.zeros_like(v0), jnp.asarray(0.0, v0.dtype)), None,
+        length=n_iter)
+    return alphas, betas
+
+
 def estimate_extreme_eigenvalues(op, inv_diag, n_iter: int = 20, seed: int = 7):
     """Estimate (lmin, lmax) of D^{-1}A by Lanczos on the symmetrized
     operator D^{-1/2} A D^{-1/2} (same spectrum).
 
     Analog of deal.II's CG-Lanczos estimate used by PreconditionChebyshev
-    (consumed at dealii_matrix_free_smoother.cc:34-56).  Runs at setup; host
-    tridiagonal eigensolve of a tiny matrix.
+    (consumed at dealii_matrix_free_smoother.cc:34-56).  Device scan at setup;
+    host tridiagonal eigensolve of a tiny matrix.
     """
     n = inv_diag.shape[0]
-    sqrt_dinv = jnp.sqrt(inv_diag)
-
-    def matvec(v):
-        return sqrt_dinv * apply_op(op, sqrt_dinv * v)
-
     n_iter = min(n_iter, n)
     rng = np.random.default_rng(seed)
-    v = jnp.asarray(rng.uniform(0.0, 1.0, size=n), dtype=inv_diag.dtype)
-    v = v / jnp.linalg.norm(v)
-    alphas, betas = [], []
-    v_prev = jnp.zeros_like(v)
+    v0 = jnp.asarray(rng.uniform(0.0, 1.0, size=n), dtype=inv_diag.dtype)
+    alphas_j, betas_j = _lanczos_coeffs(op, jnp.sqrt(inv_diag), v0, n_iter)
+    alphas = np.asarray(alphas_j, dtype=np.float64)
+    betas = np.asarray(betas_j, dtype=np.float64)
+    # truncate at Krylov exhaustion
+    m = n_iter
+    dead = np.nonzero(betas < 1e-30)[0]
+    if len(dead):
+        m = int(dead[0]) + 1
+    alphas, betas = alphas[:m], betas[: m - 1]
+    T = np.diag(alphas) + np.diag(betas, 1) + np.diag(betas, -1)
+    ev = np.linalg.eigvalsh(T)
+    return float(ev[0]), float(ev[-1])
+
+
+def estimate_extreme_eigenvalues_host(A_scipy, n_iter: int = 40, seed: int = 7):
+    """Host Lanczos estimate of the D^{-1}A interval from the assembled scipy
+    matrix — zero device programs, which matters on remote runtimes where each
+    compilation costs minutes."""
+    import scipy.sparse as sp
+
+    n = A_scipy.shape[0]
+    n_iter = min(n_iter, n)
+    d = np.asarray(A_scipy.diagonal())
+    sq = 1.0 / np.sqrt(np.where(d != 0, d, 1.0))
+    rng = np.random.default_rng(seed)
+    v = rng.uniform(0.0, 1.0, size=n)
+    v /= np.linalg.norm(v)
+    v_prev = np.zeros(n)
     beta = 0.0
+    alphas, betas = [], []
     for _ in range(n_iter):
-        w = matvec(v)
-        alpha = jnp.vdot(v, w)
+        w = sq * (A_scipy @ (sq * v))
+        alpha = v @ w
         w = w - alpha * v - beta * v_prev
-        alphas.append(float(alpha))
-        beta_new = jnp.linalg.norm(w)
-        if float(beta_new) < 1e-30:
+        alphas.append(alpha)
+        beta_new = np.linalg.norm(w)
+        if beta_new < 1e-30:
             break
-        v_prev = v
-        v = w / beta_new
-        beta = beta_new
-        betas.append(float(beta_new))
+        v_prev, v, beta = v, w / beta_new, beta_new
+        betas.append(beta_new)
     T = np.diag(alphas) + np.diag(betas[: len(alphas) - 1], 1) + np.diag(betas[: len(alphas) - 1], -1)
     ev = np.linalg.eigvalsh(T)
     return float(ev[0]), float(ev[-1])
 
 
-def build_smoother(op, smoother_cfg, dtype=jnp.float64):
-    """Factory (analog of HierarchyHelpers::build_smoother)."""
+def build_smoother(op, smoother_cfg, dtype=jnp.float64, A_scipy=None):
+    """Factory (analog of HierarchyHelpers::build_smoother).
+
+    A_scipy: optional assembled matrix for host-side eigenvalue estimation
+    (avoids compiling a device Lanczos program at setup)."""
     diag = operator_diagonal(op)
     inv_diag = jnp.where(diag != 0, 1.0 / diag, 0.0).astype(dtype)
     stype = smoother_cfg.type.strip().lower()
     if stype in ("jacobi",):
         return JacobiSmoother(inv_diag=inv_diag, omega=smoother_cfg.jacobi_omega)
     if stype in ("gauss-seidel", "symmetric gauss-seidel", "sgs", "gs"):
-        # TPU-native stand-in: damped Jacobi (sequential sweeps don't map to
-        # the hardware). Multicolor GS planned; rates differ from the
-        # reference's lexicographic SGS.
-        return JacobiSmoother(inv_diag=inv_diag, omega=smoother_cfg.jacobi_omega)
+        colors, n_colors = _color_operator(op)
+        return MulticolorGSSmoother(inv_diag=inv_diag, colors=colors,
+                                    n_colors=n_colors,
+                                    symmetric=stype in ("symmetric gauss-seidel", "sgs"))
     if stype == "chebyshev":
         if smoother_cfg.max_eigenvalue is not None:
             lmax = float(smoother_cfg.max_eigenvalue)
             lmin_est = lmax / 20.0
         else:
-            lmin_est, lmax_est = estimate_extreme_eigenvalues(
-                op, inv_diag, n_iter=max(smoother_cfg.eig_cg_n_iterations, 40))
+            n_iter = max(smoother_cfg.eig_cg_n_iterations, 40)
+            if A_scipy is not None:
+                lmin_est, lmax_est = estimate_extreme_eigenvalues_host(A_scipy, n_iter=n_iter)
+            else:
+                lmin_est, lmax_est = estimate_extreme_eigenvalues(op, inv_diag, n_iter=n_iter)
             lmax = 1.2 * lmax_est          # deal.II safety factor
             lmin_est = max(lmin_est, 1e-12)
         if smoother_cfg.smoothing_range > 1.0:

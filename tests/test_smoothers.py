@@ -1,0 +1,60 @@
+"""Smoother unit tests (analog of the reference's smoother coverage in
+test_smoother_device.cu and the smoother usage across test_hierarchy.cc)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from mfmg_tpu import Config, Hierarchy, LaplaceProblem
+from mfmg_tpu.amge.hierarchy import measure_vcycle_rate
+from mfmg_tpu.config import AgglomerationConfig, SmootherConfig
+from mfmg_tpu.ops.stencil import stencil_from_csr
+from mfmg_tpu.solve.smoothers import (MulticolorGSSmoother, _color_operator,
+                                      build_smoother)
+
+
+def test_coloring_is_proper():
+    """No two coupled dofs share a color (stencil + ELL paths)."""
+    prob = LaplaceProblem.hyper_cube(2, 3)
+    S = stencil_from_csr(prob.A, prob.mesh, dtype=jnp.float64)
+    colors, n_colors = _color_operator(S)
+    colors = np.asarray(colors)
+    A = prob.A.tocoo()
+    mask = (A.row != A.col) & (A.data != 0)
+    assert not np.any(colors[A.row[mask]] == colors[A.col[mask]])
+    assert n_colors == 4  # 2x2 lattice coloring for the 9-point Q1 stencil
+
+    from mfmg_tpu.ops.sparse import ell_from_scipy
+    E = ell_from_scipy(prob.A, dtype=jnp.float64)
+    colors_e, n_e = _color_operator(E)
+    colors_e = np.asarray(colors_e)
+    assert not np.any(colors_e[A.row[mask]] == colors_e[A.col[mask]])
+
+
+def test_gs_smoother_converges_as_solver():
+    """x <- smooth(b, x) iterated alone must converge for SPD A (GS property)."""
+    prob = LaplaceProblem.hyper_cube(2, 2)
+    S = stencil_from_csr(prob.A, prob.mesh, dtype=jnp.float64)
+    sm = build_smoother(S, SmootherConfig(type="symmetric gauss-seidel"), dtype=jnp.float64)
+    assert isinstance(sm, MulticolorGSSmoother) and sm.symmetric
+    rng = np.random.default_rng(0)
+    xstar = rng.uniform(size=prob.n_dofs)
+    xstar[prob.constrained] = 0.0
+    b = jnp.asarray(prob.A @ xstar)
+    x = jnp.zeros_like(b)
+    for _ in range(200):
+        x = sm.apply(S, b, x)
+    assert np.linalg.norm(np.asarray(x) - xstar) < 1e-8
+
+
+def test_gs_rate_beats_jacobi():
+    prob = LaplaceProblem.hyper_cube(3, 2)
+    mk = lambda t: Config(operator="stencil", is_preconditioner=False,
+                          smoother=SmootherConfig(type=t),
+                          agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2))
+    r_j = measure_vcycle_rate(Hierarchy(prob, mk("jacobi")), 20, seed=0)
+    r_gs = measure_vcycle_rate(Hierarchy(prob, mk("symmetric gauss-seidel")), 20, seed=0)
+    assert r_gs < r_j
+    # reference matrix-path golden with true SGS is 0.0235 (test_hierarchy.cc:343);
+    # multicolor ordering lands close
+    assert r_gs < 0.06, r_gs
