@@ -75,10 +75,14 @@ def main():
             return _vcycle(levels, b, x, 0, nss, False)
         return jax.lax.fori_loop(0, N_CYCLES, body, x)
 
+    # warmup compile; the timed call must use DIFFERENT inputs — the runtime
+    # returns cached results for repeated identical executions.
     x = cycles(levels, b, jnp.zeros_like(b))
     jax.block_until_ready(x)
+    x0 = 0.5 * x
+    jax.block_until_ready(x0)
     t0 = time.perf_counter()
-    x = cycles(levels, b, jnp.zeros_like(b))
+    x = cycles(levels, b, x0)
     jax.block_until_ready(x)
     dt = (time.perf_counter() - t0) / N_CYCLES
     dof_s = prob.n_dofs / dt
@@ -93,8 +97,10 @@ def main():
 
     y = spmvs(op, b)
     jax.block_until_ready(y)
+    y0 = y / (jnp.linalg.norm(y) + 1.0)
+    jax.block_until_ready(y0)
     t0 = time.perf_counter()
-    y = spmvs(op, b)
+    y = spmvs(op, y0)
     jax.block_until_ready(y)
     spmv_dt = (time.perf_counter() - t0) / N_CYCLES
     nnz_s = prob.A.nnz / spmv_dt

@@ -54,49 +54,57 @@ def _cell_centroids(mesh: Mesh) -> np.ndarray:
     return mesh.nodes[mesh.cells].mean(axis=1)
 
 
-def _block_walk_unstructured(mesh: Mesh, block_dims) -> np.ndarray:
-    # Build face-neighbor relation from shared dofs (two cells are neighbors
-    # if they share a full face worth of nodes).
-    centroids = _cell_centroids(mesh)
-    n_cells = mesh.n_cells
+def face_neighbors(mesh: Mesh) -> np.ndarray:
+    """(n_cells, 2*dim) neighbor across each local face, -1 at boundary.
+
+    Face order matches deal.II (amge.templates.hpp:416-420): x-,x+,y-,y+,z-,z+
+    in the CELL-LOCAL frame (neighbors follow local orientation, as deal.II
+    iterators do)."""
     dim = mesh.dim
-    n_face_nodes = (mesh.degree + 1) ** (dim - 1)
-    # Map from sorted dof-tuples per face is expensive; use shared-node counts.
-    from collections import defaultdict
-    node_to_cells = defaultdict(list)
+    k = mesh.degree
+    lm_all = np.arange((k + 1) ** dim)
+    # local node multi-index, x fastest
+    from mfmg_tpu.fem.reference import reference_element
+    lm = reference_element(dim, k).local_multi_index
+    face_local = []
+    for d in range(dim):
+        for side in (0, k):
+            face_local.append(np.nonzero(lm[:, d] == side)[0])
+    face_map = {}
+    n_cells = mesh.n_cells
+    nbrs = -np.ones((n_cells, 2 * dim), dtype=np.int64)
     for c in range(n_cells):
-        for d in np.unique(mesh.cells[c]):
-            node_to_cells[int(d)].append(c)
-    shared = defaultdict(int)
-    for cs in node_to_cells.values():
-        for i in range(len(cs)):
-            for j in range(i + 1, len(cs)):
-                shared[(cs[i], cs[j])] += 1
-    neighbors = defaultdict(list)
-    for (a, b), cnt in shared.items():
-        if cnt >= n_face_nodes:
-            neighbors[a].append(b)
-            neighbors[b].append(a)
+        for f, fl in enumerate(face_local):
+            key = tuple(sorted(int(v) for v in mesh.cells[c, fl]))
+            other = face_map.pop(key, None)
+            if other is None:
+                face_map[key] = (c, f)
+            else:
+                oc, of = other
+                nbrs[c, f] = oc
+                nbrs[oc, of] = c
+    return nbrs
 
-    def step(c, d):
-        """Neighbor of cell c in +direction d, or -1."""
-        best, best_dot = -1, 0.0
-        for nb in neighbors[c]:
-            v = centroids[nb] - centroids[c]
-            nv = np.linalg.norm(v)
-            if nv == 0:
-                continue
-            dot = v[d] / nv
-            if dot > 0.7 and dot > best_dot:
-                best, best_dot = nb, dot
-        return best
 
-    agg = -np.ones(n_cells, dtype=np.int64)
+def _block_walk_unstructured(mesh: Mesh, block_dims) -> np.ndarray:
+    """The reference's x->y->z block walk, verbatim semantics
+    (amge.templates.hpp:422-494): seed at the first unassigned cell in cell
+    order, then walk nx cells through each cell's local x+ face, stepping the
+    row start through y+ and the plane start through z+.  Cells are
+    (re)marked unconditionally during a walk, exactly like the reference's
+    set_user_index."""
+    dim = mesh.dim
+    nbrs = face_neighbors(mesh)
+    X_P, Y_P, Z_P = 1, 3, 5                     # local face ids (x+, y+, z+)
+    n_cells = mesh.n_cells
+    agg = np.zeros(n_cells, dtype=np.int64)     # 0 = unassigned (reference convention)
     current = 0
     d3 = block_dims[2] if dim == 3 else 1
     for c0 in range(n_cells):
-        if agg[c0] >= 0:
+        if agg[c0] != 0:
             continue
+        current += 1
+        agg[c0] = current
         z_cell = c0
         for _k in range(d3):
             y_cell = z_cell
@@ -104,20 +112,21 @@ def _block_walk_unstructured(mesh: Mesh, block_dims) -> np.ndarray:
                 cell = y_cell
                 for _i in range(block_dims[0]):
                     agg[cell] = current
-                    nxt = step(cell, 0)
-                    if nxt < 0 or agg[nxt] >= 0:
+                    nxt = nbrs[cell, X_P]
+                    if nxt < 0:
                         break
                     cell = nxt
-                nxt = step(y_cell, 1)
-                if nxt < 0 or agg[nxt] >= 0:
+                nxt = nbrs[y_cell, Y_P]
+                if nxt < 0:
                     break
                 y_cell = nxt
             if dim == 3:
-                nxt = step(z_cell, 2)
-                if nxt < 0 or agg[nxt] >= 0:
+                nxt = nbrs[z_cell, Z_P]
+                if nxt < 0:
                     break
                 z_cell = nxt
-        current += 1
+    # compress ids (stolen cells can empty an agglomerate) and 0-base
+    _, agg = np.unique(agg, return_inverse=True)
     return agg
 
 

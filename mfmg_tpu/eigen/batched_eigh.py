@@ -28,7 +28,8 @@ CONSTRAINED_DIAG = 200.0  # amge_host.templates.hpp:393
 
 def batched_smallest_eigenpairs(batch: AgglomerateBatch, n_ev: int,
                                 constrained_mode: str = "pin",
-                                use_device: bool = False):
+                                use_device: bool = False,
+                                host_dtype=np.float64):
     """Returns (eigenvalues (n_agg, n_ev), eigenvectors (n_agg, m_max, n_ev)).
 
     Eigenvectors are L2-normalized (eigh returns orthonormal columns), zero on
@@ -83,7 +84,8 @@ def batched_smallest_eigenpairs(batch: AgglomerateBatch, n_ev: int,
         w_j, v_j = jnp.linalg.eigh(jnp.asarray(M, dtype=dt))
         w, v = np.asarray(w_j, dtype=np.float64), np.asarray(v_j, dtype=np.float64)
     else:
-        w, v = np.linalg.eigh(M)
+        w, v = np.linalg.eigh(M.astype(host_dtype))
+        w, v = w.astype(np.float64), v.astype(np.float64)
     evals = w[:, :n_ev] - shifts[:, None]
     evecs = v[:, :, :n_ev]
     evecs = evecs * batch.valid[:, :, None]

@@ -57,6 +57,93 @@ class Mesh:
         return out
 
 
+def hyper_ball(dim: int, n_refinements: int, degree: int = 1,
+               radius: float = 1.0,
+               distort_random: bool = False, distort_factor: float = 0.1,
+               seed: int = 0) -> Mesh:
+    """Ball mesh à la dealii::GridGenerator::hyper_ball + refine_global
+    (reference tests/laplace.hpp:92-93): 5 (2D) / 7 (3D) coarse cells refined
+    with spherical projection of new boundary points."""
+    from mfmg_tpu.fem.ball import boundary_vertex_mask, hyper_ball_base, refine_ball
+
+    verts, cells_v = hyper_ball_base(dim, radius)
+    for _ in range(n_refinements):
+        verts, cells_v = refine_ball(verts, cells_v, radius)
+    mesh = from_cell_complex(verts, cells_v, degree)
+    if distort_random:
+        rng = np.random.default_rng(seed)
+        # min adjacent edge length per mesh: use min cell edge globally
+        xe = mesh.nodes[mesh.cells]
+        h_min = np.inf
+        for d in range(dim):
+            h_min = min(h_min, np.abs(np.diff(xe[:, :, d], axis=1)).max(initial=0))
+        edge = np.linalg.norm(mesh.nodes[mesh.cells[:, 1]] - mesh.nodes[mesh.cells[:, 0]], axis=1)
+        h_min = edge.min()
+        shift = rng.uniform(-1.0, 1.0, size=mesh.nodes.shape) * distort_factor * h_min
+        mesh.nodes = mesh.nodes + (~mesh.boundary_dofs)[:, None] * shift
+    return mesh
+
+
+def from_cell_complex(verts: np.ndarray, cells_v: np.ndarray, degree: int = 1) -> Mesh:
+    """Build a Mesh (Q_degree dofs) from a vertex/hex-cell complex.
+
+    Higher-order nodes are placed by the multilinear (MappingQ1-equivalent,
+    deal.II's default) map of the cell vertices and deduplicated by
+    coordinate hashing; Dirichlet dofs are the nodes on boundary faces (faces
+    belonging to exactly one cell — all boundary gets id 1, laplace.hpp:100-108)."""
+    from mfmg_tpu.fem.ball import _cell_faces
+    from mfmg_tpu.fem.reference import reference_element
+
+    dim = verts.shape[1]
+    n_cells = len(cells_v)
+    k = degree
+    ref = reference_element(dim, k)
+
+    if k == 1:
+        nodes = np.asarray(verts, dtype=float)
+        cells = np.asarray(cells_v, dtype=np.int32)
+    else:
+        # multilinear map of reference support points
+        corners = verts[cells_v]                       # (c, 2^dim, dim)
+        pts = ref.nodes                                # (n_loc, dim) in [0,1]^dim
+        w = np.ones((ref.n_loc, 2 ** dim))
+        for ci in range(2 ** dim):
+            corner = [(ci >> d) & 1 for d in range(dim)]
+            for d in range(dim):
+                t = pts[:, d]
+                w[:, ci] *= t if corner[d] else (1.0 - t)
+        phys = np.einsum("lc,gcd->gld", w, corners)    # (c, n_loc, dim)
+        flat = phys.reshape(-1, dim)
+        key = np.round(flat / 1e-10).astype(np.int64)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        # representative coordinates
+        nodes = np.zeros((len(uniq), dim))
+        nodes[inv] = flat
+        cells = inv.reshape(n_cells, ref.n_loc).astype(np.int32)
+
+    # boundary faces -> boundary dofs
+    from collections import Counter
+    faces = _cell_faces(dim)
+    count = Counter()
+    for c in cells_v:
+        for f in faces:
+            count[tuple(sorted(int(c[i]) for i in f))] += 1
+    boundary = np.zeros(len(nodes), dtype=bool)
+    # local face-node sets of the Q_k cell (nodes with coord 0/1 along axis)
+    lm = ref.local_multi_index
+    face_nodes = []
+    for d in range(dim):
+        for side in (0, 1):
+            face_nodes.append(np.nonzero(lm[:, d] == (0 if side == 0 else k))[0])
+    for ci, c in enumerate(cells_v):
+        for fi, f in enumerate(faces):
+            if count[tuple(sorted(int(c[i]) for i in f))] == 1:
+                boundary[cells[ci, face_nodes[fi]]] = True
+
+    return Mesh(dim=dim, degree=k, nodes=np.asarray(nodes, dtype=float),
+                cells=cells, boundary_dofs=boundary, structured_shape=None)
+
+
 def hyper_cube(dim: int, n_refinements: int, degree: int = 1,
                distort_random: bool = False, distort_factor: float = 0.1,
                seed: int = 0) -> Mesh:

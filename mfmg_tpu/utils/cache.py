@@ -21,6 +21,13 @@ def enable_compilation_cache(path: str | None = None) -> None:
 
     path = path or os.environ.get("MFMG_TPU_CACHE_DIR") or os.path.expanduser(
         "~/.cache/mfmg_tpu_xla")
+    # separate per backend: AOT CPU executables compiled by a remote service
+    # are not portable across machines (feature-mismatch SIGILL risk)
+    try:
+        import jax
+        path = os.path.join(path, jax.default_backend())
+    except Exception:
+        pass
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

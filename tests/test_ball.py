@@ -1,0 +1,77 @@
+"""hyper_ball mesh + hierarchy tests (the reference's curved-geometry family,
+tests/laplace.hpp:92-93 and the ball golden rates of test_hierarchy.cc)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from mfmg_tpu import Config, Hierarchy, LaplaceProblem
+from mfmg_tpu.amge.agglomeration import build_agglomerates
+from mfmg_tpu.amge.hierarchy import measure_vcycle_rate
+from mfmg_tpu.config import AgglomerationConfig, EigensolverConfig, SmootherConfig
+from mfmg_tpu.fem.geometry import compute_geometry
+from mfmg_tpu.fem.mesh import hyper_ball
+from mfmg_tpu.solve.cg import cg_solve
+
+
+def test_ball_mesh_geometry():
+    for dim, n_ref, n_cells in [(2, 2, 80), (3, 2, 448)]:
+        mesh = hyper_ball(dim, n_ref)
+        assert mesh.n_cells == n_cells  # 5*4^r (2D) / 7*8^r (3D), deal.II counts
+        geom = compute_geometry(mesh)
+        assert np.all(geom.JxW > 0), "inverted cells"
+        r = np.linalg.norm(mesh.nodes, axis=1)
+        assert np.allclose(r[mesh.boundary_dofs], 1.0, atol=1e-12)
+        assert r[~mesh.boundary_dofs].max() < 1.0 - 1e-6
+        vol = geom.JxW.sum()
+        exact = np.pi if dim == 2 else 4.0 / 3.0 * np.pi
+        assert abs(vol - exact) / exact < 0.1  # quadratic geometric convergence
+
+
+def test_disk_poisson_exact_solution():
+    """-Δu = 1 on the unit disk: u = (1 - r^2)/4."""
+    prob = LaplaceProblem.from_mesh(hyper_ball(2, 3), "constant")
+    rhs = prob.assemble_rhs(lambda p: np.ones(p.shape[:-1]))
+    x, info = cg_solve(prob.ell_operator(), jnp.asarray(rhs), tol=1e-12, maxiter=2000)
+    r2 = (prob.mesh.nodes**2).sum(1)
+    err = np.abs(np.asarray(x) - (1.0 - r2) / 4.0).max()
+    assert err < 5e-3, err  # O(h^2)
+
+
+def test_ball_block_walk_produces_full_blocks():
+    """The local-face block walk tiles the refined ball into full 2x2x2-cell
+    agglomerates (every refined parent cell is exactly one agglomerate)."""
+    mesh = hyper_ball(3, 2)
+    agg = build_agglomerates(mesh, AgglomerationConfig(nx=2, ny=2, nz=2))
+    counts = np.bincount(agg)
+    assert len(counts) == 56        # 448 cells / 8
+    assert np.all(counts == 8)
+
+
+def test_ball_hierarchy_rates_near_reference():
+    """3D ball, n_ref=2, 2 eigvec/agg: the reference's MF-Chebyshev golden is
+    0.2981146185 (test_hierarchy.cc:361).  Our ball geometry matches deal.II's
+    construction up to interior vertex placement, so we assert proximity (and
+    record our own golden for regression)."""
+    prob = LaplaceProblem.from_mesh(hyper_ball(3, 2), "constant")
+    cfg = Config(is_preconditioner=False,
+                 eigensolver=EigensolverConfig(constrained_mode="identity"),
+                 smoother=SmootherConfig(type="chebyshev", degree=1),
+                 agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2))
+    rate = measure_vcycle_rate(Hierarchy(prob, cfg), 20, seed=0)
+    assert rate == pytest.approx(0.323, abs=0.01), rate       # our golden
+    assert abs(rate - 0.2981146185) < 0.05                     # near reference
+
+    cfg_sgs = Config(is_preconditioner=False,
+                     eigensolver=EigensolverConfig(constrained_mode="pin"),
+                     smoother=SmootherConfig(type="symmetric gauss-seidel"),
+                     agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2))
+    rate_sgs = measure_vcycle_rate(Hierarchy(prob, cfg_sgs), 20, seed=0)
+    # multicolor SGS beats the reference's lexicographic SGS golden (0.1148)
+    assert rate_sgs < 0.1148148381, rate_sgs
+
+
+def test_distorted_ball_valid():
+    mesh = hyper_ball(2, 3, distort_random=True)
+    geom = compute_geometry(mesh)
+    assert np.all(geom.JxW > 0)
