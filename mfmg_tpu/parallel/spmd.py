@@ -1,0 +1,216 @@
+"""SPMD stencil V-cycle: slab decomposition + ppermute halo exchange.
+
+The TPU-native analog of the reference's MPI domain decomposition with ghost
+exchange (reference §2.4).  Where the reference CUDA path all-gathers the
+whole source vector per SpMV (sparse_matrix_device.templates.cuh:104-138) and
+its AMGX path builds one-ring halo maps (cuda_solver.cu:264-443), here the
+structured node grid is sharded into z-slabs over a 1-D device mesh and each
+stencil apply exchanges exactly the k boundary planes with its two neighbors
+via `lax.ppermute` — the one-ring pattern, on ICI, overlappable with interior
+compute by XLA.
+
+Layout: the z axis is padded to naz_pad = P*ceil((naz+1)/P)-ish agglomerate
+windows of sz planes each (padded planes carry zero stencil coefficients and
+zero restriction weights, so padded dofs remain exactly zero and contribute
+nothing), giving every device an identical window-aligned slab.  The coarse
+problem is replicated (all-gather of the small coarse residual), matching the
+reference's gathered direct coarse solves.  Prolongation is generated as the
+exact linear transpose of the sharded restriction (jax.linear_transpose), so
+XLA emits the reversed ppermute/scatter pattern automatically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mfmg_tpu.ops.stencil import StencilOperator
+from mfmg_tpu.ops.structured_transfer import StructuredTransfer
+
+try:
+    from jax import shard_map as _shard_map
+except ImportError:                         # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+@dataclasses.dataclass
+class SpmdVcycle:
+    """Jitted V-cycle over slab-sharded grid vectors."""
+
+    mesh: Mesh
+    grid_shape: tuple              # padded (gz_pad, ny, nx)
+    orig_grid: tuple
+    fn: object                     # (b_grid, x_grid) -> x_grid (jitted)
+
+    def to_grid(self, v_flat):
+        g = np.zeros(self.grid_shape, dtype=np.asarray(v_flat).dtype)
+        g[: self.orig_grid[0]] = np.asarray(v_flat).reshape(self.orig_grid)
+        return jax.device_put(jnp.asarray(g), NamedSharding(self.mesh, P("x")))
+
+    def from_grid(self, g):
+        return np.asarray(g)[: self.orig_grid[0]].reshape(-1)
+
+
+def build_spmd_vcycle(hier, n_devices: int | None = None, devices=None) -> SpmdVcycle:
+    """Build the sharded V-cycle from a 2-level stencil-path 3D Hierarchy
+    (Config(operator="stencil"), dense direct coarse solver)."""
+    from mfmg_tpu.parallel.sharding import make_mesh
+    from mfmg_tpu.solve.coarse import DirectCoarseSolver
+    from mfmg_tpu.solve.smoothers import ChebyshevSmoother, JacobiSmoother
+
+    lvl0 = hier.levels[0]
+    if not isinstance(lvl0.op, StencilOperator) or lvl0.transfer is None:
+        raise ValueError("SPMD V-cycle needs the stencil operator + structured transfer")
+    if len(hier.levels) != 2 or not isinstance(hier.levels[1].coarse, DirectCoarseSolver):
+        raise ValueError("SPMD V-cycle supports 2 levels with the direct coarse solver")
+
+    mesh = make_mesh(n_devices, devices)
+    Pn = int(mesh.devices.size)
+    op: StencilOperator = lvl0.op
+    tr: StructuredTransfer = lvl0.transfer
+    sm = lvl0.smoother
+    inv = hier.levels[1].coarse.inv
+    dtype = op.coeffs.dtype
+
+    if len(op.grid_shape) != 3:
+        raise ValueError("SPMD V-cycle currently supports 3D grids")
+    gz, gy, gx = op.grid_shape
+    k = max(max(abs(o) for o in off) for off in op.offsets)
+    naz, nay, nax = tr.agg_shape
+    wz, wy, wx = tr.window_shape
+    sz, sy, sx = wz - 1, wy - 1, wx - 1
+    n_ev = tr.n_ev
+
+    # window-aligned padded slab layout (see module docstring)
+    naz_pad = Pn * (-(-naz // Pn))
+    if naz_pad * sz < gz:                      # final real plane must fit
+        naz_pad += Pn
+    gz_pad = naz_pad * sz
+    naz_loc = naz_pad // Pn
+    nz_loc = naz_loc * sz
+
+    def padz(arr, axis):
+        pw = [(0, 0)] * arr.ndim
+        pw[axis] = (0, gz_pad - arr.shape[axis])
+        return jnp.pad(arr, pw)
+
+    coeffs_p = padz(op.coeffs, 1)
+    inv_diag_p = padz(sm.inv_diag.reshape(op.grid_shape), 0)
+    W_pad = jnp.pad(tr.W, [(0, 0), (0, 0), (0, 0), (0, 0),
+                           (0, naz_pad - naz), (0, 0), (0, 0)])
+
+    shard3 = P("x", None, None)
+    spec_coeff = P(None, "x", None, None)
+    spec_W = P(None, None, None, None, "x", None, None)
+    smap = partial(_shard_map, mesh=mesh)
+
+    # ------------------------------------------------------------- apply --
+    def _halo(x_loc, width):
+        up = jax.lax.ppermute(x_loc[-width:], "x", [(i, i + 1) for i in range(Pn - 1)])
+        down = jax.lax.ppermute(x_loc[:width], "x", [(i, i - 1) for i in range(1, Pn)])
+        return jnp.concatenate([up, x_loc, down], axis=0)
+
+    def apply_loc(c_loc, x_loc):
+        x_ext = _halo(x_loc, k)
+        xp = jnp.pad(x_ext, ((0, 0), (k, k), (k, k)))
+        terms = None
+        for i, off in enumerate(op.offsets):
+            oz, oy, ox = off
+            sl = (slice(k + oz, k + oz + nz_loc),
+                  slice(k + oy, k + oy + gy),
+                  slice(k + ox, k + ox + gx))
+            t = c_loc[i] * xp[sl]
+            terms = t if terms is None else terms + t
+        return terms
+
+    @jax.jit
+    def apply_fn(coeffs, x):
+        return smap(apply_loc, in_specs=(spec_coeff, shard3), out_specs=shard3)(coeffs, x)
+
+    # --------------------------------------------------------- restriction --
+    def restrict_loc(W_loc, x_loc):
+        # one halo plane from the slab above (windows close on its first row)
+        top = jax.lax.ppermute(x_loc[:1], "x", [(i, i - 1) for i in range(1, Pn)])
+        x_ext = jnp.concatenate([x_loc, top], axis=0)
+        out = jnp.zeros((n_ev, naz_loc, nay, nax), dtype=x_loc.dtype)
+        for tz in range(wz):
+            for ty in range(wy):
+                for tx in range(wx):
+                    xs = x_ext[tz: tz + sz * (naz_loc - 1) + 1: sz,
+                               ty: ty + sy * (nay - 1) + 1: sy,
+                               tx: tx + sx * (nax - 1) + 1: sx]
+                    out = out + W_loc[:, tz, ty, tx] * xs[None]
+        return out
+
+    @jax.jit
+    def restrict_fn(W, x):
+        loc = smap(restrict_loc, in_specs=(spec_W, shard3),
+                   out_specs=P(None, "x", None, None))(W, x)
+        full = jax.lax.with_sharding_constraint(loc, NamedSharding(mesh, P()))
+        # real agglomerates only, (az, ay, ax, e) flat order
+        return jnp.moveaxis(full[:, :naz], 0, -1).reshape(-1)
+
+    # ------------------------------------------------- prolongation = R^T --
+    def _restrict_lin(x):
+        return restrict_fn(W_pad, x)
+
+    restrict_T = jax.linear_transpose(
+        _restrict_lin, jax.ShapeDtypeStruct((gz_pad, gy, gx), dtype))
+
+    @jax.jit
+    def prolong_fn(xc):
+        (y,) = restrict_T(xc)
+        return y
+
+    # ------------------------------------------------------------ smoother --
+    if isinstance(sm, ChebyshevSmoother):
+        theta, delta, degree = sm.theta, sm.delta, sm.degree
+
+        def smooth(coeffs, b, x):
+            src = apply_fn(coeffs, x) - b
+            xx = jnp.zeros_like(src)
+            r = src
+            p = None
+            alpha = None
+            for i in range(1, degree + 1):
+                z = inv_diag_p * r
+                if i == 1:
+                    p, alpha = z, 1.0 / theta
+                else:
+                    beta = (delta * alpha / 2.0) ** 2
+                    alpha = 1.0 / (theta - beta / alpha)
+                    p = z + beta * p
+                xx = xx + alpha * p
+                if i < degree:
+                    r = src - apply_fn(coeffs, xx)
+            return x - xx
+    elif isinstance(sm, JacobiSmoother):
+        omega = sm.omega
+
+        def smooth(coeffs, b, x):
+            return x - omega * inv_diag_p * (apply_fn(coeffs, x) - b)
+    else:
+        raise ValueError("SPMD V-cycle supports Jacobi/Chebyshev smoothers")
+
+    n_smooth = hier.config.smoother.n_smoothing_steps
+
+    @jax.jit
+    def vcycle_fn(coeffs, W, inv, b, x):
+        for _ in range(n_smooth):
+            x = smooth(coeffs, b, x)
+        res = apply_fn(coeffs, x) - b
+        bc = restrict_fn(W, res)
+        xc = inv @ bc
+        x = x - prolong_fn(xc)
+        for _ in range(n_smooth):
+            x = smooth(coeffs, b, x)
+        return x
+
+    return SpmdVcycle(mesh=mesh, grid_shape=(gz_pad, gy, gx),
+                      orig_grid=op.grid_shape,
+                      fn=partial(vcycle_fn, coeffs_p, W_pad, inv))
