@@ -120,14 +120,18 @@ def _try_build_structured(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray):
                              axis=-1).reshape(-1, dim, order="F")   # x fastest
     dof_map = ((agg_origin_mi * k)[:, None, :] + local_node_mi[None, :, :]) @ nstride
 
-    # batched dense assembly: one scatter-add over all agglomerates
-    A_agg = np.zeros((n_agg, m, m))
-    gi = np.broadcast_to(np.arange(n_agg)[:, None, None, None],
-                         (n_agg, len(bc), n_loc, n_loc))
-    rows = np.broadcast_to(local_cells[None, :, :, None], gi.shape)
-    cols = np.broadcast_to(local_cells[None, :, None, :], gi.shape)
-    np.add.at(A_agg, (gi.reshape(-1), rows.reshape(-1), cols.reshape(-1)),
-              A_loc[cells_per_agg].reshape(-1))
+    # batched dense assembly: native kernel, numpy scatter-add fallback
+    from mfmg_tpu import native
+    A_agg = native.assemble_agglomerate_batch_uniform(
+        cells_per_agg, local_cells, A_loc, n_agg, m)
+    if A_agg is None:
+        A_agg = np.zeros((n_agg, m, m))
+        gi = np.broadcast_to(np.arange(n_agg)[:, None, None, None],
+                             (n_agg, len(bc), n_loc, n_loc))
+        rows = np.broadcast_to(local_cells[None, :, :, None], gi.shape)
+        cols = np.broadcast_to(local_cells[None, :, None, :], gi.shape)
+        np.add.at(A_agg, (gi.reshape(-1), rows.reshape(-1), cols.reshape(-1)),
+                  A_loc[cells_per_agg].reshape(-1))
 
     valid = np.ones((n_agg, m), dtype=bool)
     diag = np.einsum("gii->gi", A_agg).copy()

@@ -1,0 +1,105 @@
+"""ctypes bindings for the native host kernels (native/mfmg_host.cpp).
+
+Builds the shared library on first use (g++, cached next to the source) and
+falls back transparently to the numpy implementations if the toolchain or the
+build is unavailable — the framework stays pure-Python-functional either way.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_lib = None
+_tried = False
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "native", "mfmg_host.cpp")
+_SO = os.path.join(os.path.dirname(_SRC), "libmfmg_host.so")
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("MFMG_TPU_NO_NATIVE"):
+        return None
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO],
+                check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(_SO)
+        i64 = ctypes.POINTER(ctypes.c_int64)
+        i32 = ctypes.POINTER(ctypes.c_int32)
+        f64 = ctypes.POINTER(ctypes.c_double)
+        lib.assemble_agglomerate_batch_uniform.argtypes = [
+            i64, i64, f64, f64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        lib.assemble_patch.argtypes = [
+            i64, i64, f64, f64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        lib.ell_pack.argtypes = [i64, i32, f64, f64, i32,
+                                 ctypes.c_int64, ctypes.c_int64]
+        _lib = lib
+    except Exception as e:                  # pragma: no cover - toolchain issues
+        print(f"[mfmg_tpu] native kernels unavailable ({e}); using numpy fallback",
+              file=sys.stderr)
+        _lib = None
+    return _lib
+
+
+def _ptr(a, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def assemble_agglomerate_batch_uniform(cells_per_agg, local_cells, A_loc, n_agg, m):
+    """Returns (n_agg, m, m) batched dense assembly, or None if native
+    kernels are unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    cells_per_agg = np.ascontiguousarray(cells_per_agg, dtype=np.int64)
+    local_cells = np.ascontiguousarray(local_cells, dtype=np.int64)
+    A_loc = np.ascontiguousarray(A_loc, dtype=np.float64)
+    n_bc, n_loc = local_cells.shape
+    out = np.zeros((n_agg, m, m))
+    lib.assemble_agglomerate_batch_uniform(
+        _ptr(cells_per_agg, ctypes.c_int64), _ptr(local_cells, ctypes.c_int64),
+        _ptr(A_loc, ctypes.c_double), _ptr(out, ctypes.c_double),
+        n_agg, n_bc, n_loc, m)
+    return out
+
+
+def assemble_patch(cell_ids, local_cells, A_loc, m):
+    lib = _load()
+    if lib is None:
+        return None
+    cell_ids = np.ascontiguousarray(cell_ids, dtype=np.int64)
+    local_cells = np.ascontiguousarray(local_cells, dtype=np.int64)
+    A_loc = np.ascontiguousarray(A_loc, dtype=np.float64)
+    out = np.zeros((m, m))
+    lib.assemble_patch(_ptr(cell_ids, ctypes.c_int64), _ptr(local_cells, ctypes.c_int64),
+                       _ptr(A_loc, ctypes.c_double), _ptr(out, ctypes.c_double),
+                       len(cell_ids), local_cells.shape[1], m)
+    return out
+
+
+def ell_pack(indptr, indices, data, n_rows, L):
+    lib = _load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    vals = np.zeros((n_rows, L))
+    cols = np.zeros((n_rows, L), dtype=np.int32)
+    lib.ell_pack(_ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+                 _ptr(data, ctypes.c_double), _ptr(vals, ctypes.c_double),
+                 _ptr(cols, ctypes.c_int32), n_rows, L)
+    return vals, cols

@@ -62,14 +62,19 @@ def ell_from_scipy(A: sp.spmatrix, dtype=jnp.float64, pad_to: int | None = None)
     L = int(row_nnz.max()) if n > 0 else 0
     if pad_to is not None:
         L = max(L, pad_to)
-    vals = np.zeros((n, L), dtype=np.float64)
-    cols = np.zeros((n, L), dtype=np.int32)
-    # vectorized fill: position of each nnz within its row
-    if A.nnz > 0:
-        rows = np.repeat(np.arange(n), row_nnz)
-        pos = np.arange(A.nnz) - np.repeat(A.indptr[:-1], row_nnz)
-        vals[rows, pos] = A.data
-        cols[rows, pos] = A.indices
+    from mfmg_tpu import native
+    packed = native.ell_pack(A.indptr, A.indices, A.data, n, L) if A.nnz > 0 else None
+    if packed is not None:
+        vals, cols = packed
+    else:
+        vals = np.zeros((n, L), dtype=np.float64)
+        cols = np.zeros((n, L), dtype=np.int32)
+        # vectorized fill: position of each nnz within its row
+        if A.nnz > 0:
+            rows = np.repeat(np.arange(n), row_nnz)
+            pos = np.arange(A.nnz) - np.repeat(A.indptr[:-1], row_nnz)
+            vals[rows, pos] = A.data
+            cols[rows, pos] = A.indices
     return ELLMatrix(vals=jnp.asarray(vals, dtype=dtype),
                      cols=jnp.asarray(cols), n_cols=m)
 
