@@ -1,0 +1,96 @@
+"""Pallas TPU kernel for the variable-coefficient stencil apply.
+
+Design ("resident-x, streamed coefficients"):
+  * the (y,x) axes are flattened into one 128-aligned lane dimension, so a
+    stencil offset (oz, oy, ox) is a sublane roll by oz plus a lane roll by
+    oy*gx+ox — Mosaic supports arbitrary rolls where it forbids unaligned
+    slices; roll wrap-around lands in zero padding where the (zero) boundary
+    coefficients kill it,
+  * the whole padded x grid lives in VMEM (a 65^3 f32 grid is 1.3 MB),
+  * the 27 coefficient planes stream from HBM through a double-buffered DMA
+    pipeline overlapped with the multiply-accumulate of the previous plane —
+    the dominant HBM traffic at exactly one read of each coefficient.
+
+The XLA path (ops/stencil.py) remains the default; this kernel exists for
+runtimes/sizes where hand pipelining beats XLA's schedule, and as the
+foundation for the fused-smoother kernels.  Grids whose padded x exceeds
+VMEM fall back to the XLA path automatically (`fits_vmem`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def _layout(grid_shape, offsets):
+    gz, gy, gx = grid_shape
+    k = max(max(abs(o) for o in off) for off in offsets)
+    nf = gy * gx
+    max_shift = k * gx + k
+    F = -(-(nf + max_shift) // 128) * 128
+    gz_pad = -(-(gz + 2 * k) // 8) * 8       # zero rows absorb z-roll wraps
+    return k, nf, F, gz_pad
+
+
+def fits_vmem(grid_shape, offsets, dtype_bytes=4):
+    k, nf, F, gz_pad = _layout(grid_shape, offsets)
+    need = gz_pad * F * dtype_bytes * (2 + 2 + 1)   # x, out, 2 coeff bufs, acc slack
+    return need < VMEM_BUDGET_BYTES
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "grid_shape"))
+def pallas_stencil_apply(coeffs, x, offsets, grid_shape):
+    """y = sum_o C_o * shift(x, o); coeffs (n_off,)+grid_shape, x flat."""
+    gz, gy, gx = grid_shape
+    k, nf, F, gz_pad = _layout(grid_shape, offsets)
+    n_off = len(offsets)
+
+    xp = jnp.pad(x.reshape(gz, nf), ((k, gz_pad - gz - k), (0, F - nf)))
+    cp = jnp.pad(coeffs.reshape(n_off, gz, nf),
+                 ((0, 0), (k, gz_pad - gz - k), (0, F - nf)))
+    lane_shift = tuple((-(off[1] * gx + off[2])) % F for off in offsets)
+    sub_shift = tuple((-off[0]) % gz_pad for off in offsets)
+
+    def kernel(cp_ref, xp_ref, out_ref, cbuf, sems):
+        def get_copy(j, slot):
+            return pltpu.make_async_copy(cp_ref.at[j], cbuf.at[slot], sems.at[slot])
+
+        get_copy(0, 0).start()
+        acc = None
+        for j in range(n_off):
+            slot = j % 2
+            if j + 1 < n_off:
+                get_copy(j + 1, 1 - slot).start()
+            get_copy(j, slot).wait()
+            v = xp_ref[:]
+            if sub_shift[j]:
+                v = pltpu.roll(v, sub_shift[j], axis=0)
+            if lane_shift[j]:
+                v = pltpu.roll(v, lane_shift[j], axis=1)
+            t = cbuf[slot] * v
+            acc = t if acc is None else acc + t
+        out_ref[:] = acc
+
+    y = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),      # coeffs stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # x resident
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gz_pad, F), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, gz_pad, F), coeffs.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=(jax.default_backend() == "cpu"),    # CI runs on CPU
+    )(cp, xp)
+    return y[k: k + gz, :nf].reshape(-1)
