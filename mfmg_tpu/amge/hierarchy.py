@@ -185,14 +185,21 @@ class Hierarchy:
             evals, evecs = self._eigensolve(batch)
             self._level0_agg_ids = agg_ids
             self._level0_eigendata = (batch, evals, evecs)
-            return build_restriction(batch, evecs, problem.diag_raw, problem.n_dofs)
-        # Algebraic coarsening of an already-coarse operator: group coarse
-        # dofs by their originating agglomerate block via RCB on the coarse
-        # "graph".  (Multilevel support; the reference defaults to 2 levels
-        # and delegates deeper hierarchies to ML/AMGX — here we recurse with
-        # our own machinery.)
-        from mfmg_tpu.amge.algebraic import build_algebraic_restriction
-        return build_algebraic_restriction(self._A_per_level[level], cfg)
+            R = build_restriction(batch, evecs, problem.diag_raw, problem.n_dofs)
+            self._cell_agg = agg_ids
+            self._R_composed = R
+            return R
+        # Deeper levels: recursive spectral AMGe on super-agglomerates (the
+        # reference defaults to 2 levels and delegates deeper hierarchies to
+        # ML/AMGX; here the same construction recurses, amge/multilevel.py).
+        from mfmg_tpu.amge.multilevel import build_recursive_restriction
+        R_l, cell_super = build_recursive_restriction(
+            problem.mesh, problem.A_loc, self._cell_agg, self._R_composed,
+            self._A_per_level[level], problem.constrained,
+            cfg.eigensolver.n_eigenvectors, cfg.agglomeration.block_dims(problem.mesh.dim))
+        self._cell_agg = cell_super
+        self._R_composed = (R_l @ self._R_composed).tocsr()
+        return R_l
 
     def _constrained_mode(self) -> str:
         mode = self.config.eigensolver.constrained_mode

@@ -127,9 +127,9 @@ def test_multilevel_hierarchy():
     h = Hierarchy(prob, cfg)
     assert len(h.levels) == 3
     rate = measure_vcycle_rate(h, n_cycles=20, seed=0)
-    # The algebraic (smoothed-aggregation) second coarsening is convergent but
-    # not yet at 2-level quality; tightening this bound is tracked work.
-    assert rate < 0.8, rate
+    # recursive spectral AMGe (SVD-reduced local eigenproblems with boundary
+    # rings); multilevel stays close to 2-level quality
+    assert rate < 0.45, rate
 
 
 def test_is_preconditioner_zeroes_initial_guess(problem_3d):
@@ -147,3 +147,26 @@ def test_grid_and_operator_complexity(problem_3d):
     h = Hierarchy(problem_3d, cfg)
     assert 1.0 < h.grid_complexity() < 1.5
     assert 1.0 < h.operator_complexity() < 2.0
+
+
+def test_multilevel_recursive_amge_quality():
+    """Recursive spectral AMGe: adding a level costs little (3D) and the
+    3-level hierarchy beats the 2-level with the same coarsest size (2D)."""
+    prob = LaplaceProblem.hyper_cube(3, 3, material_property="linear")
+    mk = lambda L: Config(max_levels=L, is_preconditioner=False,
+                          smoother=SmootherConfig(type="chebyshev", degree=2),
+                          agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2))
+    r2 = measure_vcycle_rate(Hierarchy(prob, mk(2)), 20, seed=0)
+    r3 = measure_vcycle_rate(Hierarchy(prob, mk(3)), 20, seed=0)
+    assert r3 < r2 + 0.02, (r2, r3)
+
+    prob2 = LaplaceProblem.hyper_cube(2, 5)
+    cfg3 = Config(max_levels=3, is_preconditioner=False,
+                  smoother=SmootherConfig(type="chebyshev", degree=2),
+                  agglomeration=AgglomerationConfig(nx=2, ny=2))
+    cfg2_wide = Config(max_levels=2, is_preconditioner=False,
+                       smoother=SmootherConfig(type="chebyshev", degree=2),
+                       agglomeration=AgglomerationConfig(nx=4, ny=4))
+    r3 = measure_vcycle_rate(Hierarchy(prob2, cfg3), 20, seed=0)
+    r2w = measure_vcycle_rate(Hierarchy(prob2, cfg2_wide), 20, seed=0)
+    assert r3 < r2w, (r3, r2w)
