@@ -69,40 +69,73 @@ def main():
     # NOTE: level arrays are jit ARGUMENTS, not closure constants — closure
     # constants get embedded in the program and overflow the remote-compile
     # request on tunneled runtimes (HTTP 413 observed).
-    @jax.jit
-    def cycles(levels, b, x):
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n",))
+    def cycles(levels, b, x, n):
         def body(i, x):
             return _vcycle(levels, b, x, 0, nss, False)
-        return jax.lax.fori_loop(0, N_CYCLES, body, x)
+        return jax.lax.fori_loop(0, n, body, x)
 
-    # warmup compile; the timed call must use DIFFERENT inputs — the runtime
-    # returns cached results for repeated identical executions.
-    x = cycles(levels, b, jnp.zeros_like(b))
-    jax.block_until_ready(x)
-    x0 = 0.5 * x
-    jax.block_until_ready(x0)
-    t0 = time.perf_counter()
-    x = cycles(levels, b, x0)
-    jax.block_until_ready(x)
-    dt = (time.perf_counter() - t0) / N_CYCLES
+    import os as _os
+
+    def _fresh():
+        seed = int.from_bytes(_os.urandom(4), "little")
+        v = jnp.asarray(np.random.default_rng(seed).uniform(
+            size=prob.n_dofs).astype(np.float32))
+        jax.block_until_ready(v)
+        return v
+
+    def _timed(n):
+        """One executable call on a fresh random input; returns wall time.
+
+        Two-point measurement (T(N_HI)-T(N_LO))/(N_HI-N_LO) cancels per-call
+        dispatch overhead; fresh inputs defeat the tunneled runtime's
+        identical-execution result cache; the checksum forces completion."""
+        v = _fresh()
+        t0 = time.perf_counter()
+        out = cycles(levels, b, v, n)
+        cs = float(jnp.vdot(out, out))
+        assert np.isfinite(cs)
+        return time.perf_counter() - t0
+
+    N_LO, N_HI = 5, N_CYCLES
+    # warmup-compile both trip counts
+    _timed(N_LO), _timed(N_HI)
+    dt = None
+    for _attempt in range(5):
+        t_lo, t_hi = _timed(N_LO), _timed(N_HI)
+        if 0 < t_lo < t_hi:
+            dt = (t_hi - t_lo) / (N_HI - N_LO)
+            break
+    assert dt is not None, "could not obtain a consistent timing"
     dof_s = prob.n_dofs / dt
-    log(f"vcycle: {dt*1e3:.3f} ms/cycle -> {dof_s:.3e} DoF/s")
+    log(f"vcycle: {dt*1e3:.3f} ms/cycle -> {dof_s:.3e} DoF/s "
+        f"(t_lo={t_lo*1e3:.1f}ms t_hi={t_hi*1e3:.1f}ms)")
 
-    # SpMV nnz/s on the fine stencil operator, same single-program method
+    # SpMV nnz/s on the fine stencil operator, same two-point method
     op = levels[0].op
 
-    @jax.jit
-    def spmvs(op, x):
-        return jax.lax.fori_loop(0, N_CYCLES, lambda i, y: apply_op(op, y), x)
+    @partial(jax.jit, static_argnames=("n",))
+    def spmvs(op, x, n):
+        return jax.lax.fori_loop(0, n, lambda i, y: apply_op(op, y) / 27.0, x)
 
-    y = spmvs(op, b)
-    jax.block_until_ready(y)
-    y0 = y / (jnp.linalg.norm(y) + 1.0)
-    jax.block_until_ready(y0)
-    t0 = time.perf_counter()
-    y = spmvs(op, y0)
-    jax.block_until_ready(y)
-    spmv_dt = (time.perf_counter() - t0) / N_CYCLES
+    def _timed_s(n):
+        v = _fresh()
+        t0 = time.perf_counter()
+        out = spmvs(op, v, n)
+        cs = float(jnp.vdot(out, out))
+        assert np.isfinite(cs)
+        return time.perf_counter() - t0
+
+    _timed_s(N_LO), _timed_s(N_HI)
+    spmv_dt = None
+    for _attempt in range(5):
+        t_lo, t_hi = _timed_s(N_LO), _timed_s(N_HI)
+        if 0 < t_lo < t_hi:
+            spmv_dt = (t_hi - t_lo) / (N_HI - N_LO)
+            break
+    assert spmv_dt is not None
     nnz_s = prob.A.nnz / spmv_dt
     log(f"spmv: {spmv_dt*1e3:.3f} ms -> {nnz_s:.3e} nnz/s")
 

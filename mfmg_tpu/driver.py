@@ -59,12 +59,18 @@ def main(argv=None):
     laplace = cfg_dict.get("laplace", {})
     n_ref = args.n_refinements or int(laplace.get("n_refinements", 3))
     material = cfg_dict.get("material_property", {}).get("type", "constant")
+    mesh_kind = laplace.get("mesh", "hyper_cube")
+    distort = str(laplace.get("distort_random", "false")).lower() == "true"
 
     timer = TimerOutput()
     with timer.section("Setup: problem"):
-        prob = LaplaceProblem.hyper_cube(
-            args.dim, n_ref, material_property=material,
-            distort_random=str(laplace.get("distort_random", "false")).lower() == "true")
+        if mesh_kind == "hyper_ball":
+            from mfmg_tpu.fem.mesh import hyper_ball
+            prob = LaplaceProblem.from_mesh(
+                hyper_ball(args.dim, n_ref, distort_random=distort), material)
+        else:
+            prob = LaplaceProblem.hyper_cube(
+                args.dim, n_ref, material_property=material, distort_random=distort)
     with timer.section("Setup: hierarchy"):
         hier = Hierarchy(prob, cfg)
 

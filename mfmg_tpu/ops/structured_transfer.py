@@ -64,14 +64,45 @@ def _window_slices(t, strides, agg_shape):
 
 @jax.jit
 def structured_restrict(tr: StructuredTransfer, x: jax.Array) -> jax.Array:
+    """Windowed contraction via block reshaping: instead of prod(window)
+    strided-slice kernels (125 for 4x4x4 Q1 blocks — latency-bound), pad the
+    grid by one block per axis, reshape to (blocks, within) pairs, and do one
+    einsum per window-corner subset (2^dim total).  Windows overlap their
+    upper neighbors by one plane; corner subsets read within-index 0 of the
+    shifted block."""
     dim = len(tr.agg_shape)
-    strides = tuple(w - 1 for w in tr.window_shape)
+    s = tuple(w - 1 for w in tr.window_shape)
+    na = tr.agg_shape
     xg = x.reshape(tr.grid_shape)
-    out = jnp.zeros((tr.n_ev,) + tr.agg_shape, dtype=x.dtype)
-    for t in itertools.product(*[range(w) for w in tr.window_shape]):
-        xs = xg[_window_slices(t, strides, tr.agg_shape)]
-        out = out + tr.W[(slice(None),) + t] * xs[None]
-    # (e, az, ay, ax) -> (az, ay, ax, e) flat
+    # pad to (na+1) blocks of s per axis
+    xp = jnp.pad(xg, [(0, (a + 1) * sd - g)
+                      for a, sd, g in zip(na, s, tr.grid_shape)])
+    shape6 = []
+    for a, sd in zip(na, s):
+        shape6 += [a + 1, sd]
+    xb = xp.reshape(shape6)                      # (bz, tz, by, ty, bx, tx)
+
+    letters_b = ["u", "v", "w"][:dim]
+    letters_t = ["i", "j", "l"][:dim]
+    spec_w = "e" + "".join(letters_t) + "".join(letters_b)
+    spec_x = "".join(letters_b[d] + letters_t[d] for d in range(dim))
+    spec_o = "e" + "".join(letters_b)
+    out = jnp.zeros((tr.n_ev,) + na, dtype=x.dtype)
+    for S in itertools.product(*[(0, 1)] * dim):
+        # W index: t_d = s_d (singleton) if S_d else 0..s_d-1
+        w_idx = tuple(
+            (slice(s[d], s[d] + 1) if S[d] else slice(0, s[d]))
+            for d in range(dim))
+        Wp = tr.W[(slice(None),) + w_idx]        # (e, tz', ty', tx', az, ay, ax)
+        # x blocks: shifted by 1 in axes of S, within-index 0 there
+        xb_idx = []
+        for d in range(dim):
+            if S[d]:
+                xb_idx += [slice(1, na[d] + 1), slice(0, 1)]
+            else:
+                xb_idx += [slice(0, na[d]), slice(None)]
+        xs = xb[tuple(xb_idx)]                   # (bz, tz', by, ty', bx, tx')
+        out = out + jnp.einsum(f"{spec_w},{spec_x}->{spec_o}", Wp, xs)
     perm = tuple(range(1, dim + 1)) + (0,)
     return out.transpose(perm).reshape(-1)
 

@@ -1,0 +1,61 @@
+"""Agglomerate eigensolver path on a known-spectrum operator.
+
+Analog of the reference's tests/test_eigenvectors.cc:40-232: an evaluator
+whose agglomerate matrix is A = diag(1..n) must return eigenvalues 1..k and
+unit eigenvectors, with and without constraints."""
+
+import numpy as np
+import pytest
+
+from mfmg_tpu.amge.local_problems import AgglomerateBatch
+from mfmg_tpu.eigen.batched_eigh import batched_smallest_eigenpairs
+from mfmg_tpu.eigen.lanczos import batched_lanczos_smallest
+from mfmg_tpu.config import EigensolverConfig
+
+
+def diag_batch(n=10, n_agg=3, constrained_first=False):
+    A = np.zeros((n_agg, n, n))
+    diag = np.zeros((n_agg, n))
+    for g in range(n_agg):
+        d = np.arange(1, n + 1, dtype=float)
+        A[g] = np.diag(d)
+        diag[g] = d
+    constrained = np.zeros((n_agg, n), dtype=bool)
+    if constrained_first:
+        constrained[:, 0] = True
+    return AgglomerateBatch(
+        dof_map=np.tile(np.arange(n), (n_agg, 1)),
+        valid=np.ones((n_agg, n), dtype=bool),
+        A_agg=A, diag=diag, constrained=constrained,
+        sizes=np.full(n_agg, n))
+
+
+def test_diagonal_eigenvalues_unconstrained():
+    batch = diag_batch()
+    evals, evecs = batched_smallest_eigenpairs(batch, 5, constrained_mode="raw")
+    for g in range(batch.n_agg):
+        np.testing.assert_allclose(evals[g], [1, 2, 3, 4, 5], atol=1e-12)
+        for k in range(5):
+            e = np.zeros(10)
+            e[k] = 1.0
+            assert min(np.linalg.norm(evecs[g, :, k] - e),
+                       np.linalg.norm(evecs[g, :, k] + e)) < 1e-12
+
+
+def test_diagonal_eigenvalues_with_constraint():
+    """Constraining dof 0 excludes eigenvalue 1; smallest become 2..6
+    (the reference's with-constraints variant)."""
+    batch = diag_batch(constrained_first=True)
+    evals, evecs = batched_smallest_eigenpairs(batch, 5, constrained_mode="identity")
+    for g in range(batch.n_agg):
+        np.testing.assert_allclose(evals[g], [2, 3, 4, 5, 6], atol=1e-12)
+        assert np.all(np.abs(evecs[g, 0, :]) < 1e-14)  # zero at constrained dof
+
+
+def test_diagonal_lanczos_agrees():
+    batch = diag_batch(n=20)
+    cfg = EigensolverConfig(type="lanczos", n_eigenvectors=3, tolerance=1e-10,
+                            max_iterations=200, percent_overshoot=5)
+    evals, evecs = batched_lanczos_smallest(batch, cfg, constrained_mode="raw")
+    for g in range(batch.n_agg):
+        np.testing.assert_allclose(evals[g], [1, 2, 3], atol=1e-8)
