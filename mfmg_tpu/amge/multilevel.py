@@ -4,20 +4,23 @@ The reference caps its own AMGe at 2 levels and delegates deeper hierarchies
 to ML/AMGX coarse solvers (hierarchy.hpp:172, dealii_solver.cc).  Here level
 l >= 1 repeats the level-0 construction on super-agglomerates:
 
-  * level-l agglomerates = groups of level-(l-1) agglomerates (block walk on
-    the agglomerate grid for structured meshes, greedy graph aggregation of
-    the agglomerate adjacency otherwise),
+  * level-l agglomerates = groups of level-(l-1) agglomerates,
   * the local operator of super-agglomerate G is the Galerkin restriction of
-    G's *Neumann-assembled fine* patch:  A_G^(l) = R_G A_G R_G^T, where A_G
-    is assembled from G's fine cells only and R_G collects the member
-    agglomerates' restriction rows — the textbook spectral-AMGe hierarchy,
+    G's *Neumann-assembled fine* patch:  A_G^(l) = R_G A_G R_G^T, assembled
+    WITHOUT materializing the fine patch: per fine cell c the coarse-local
+    matrix K_c = R_c A_c R_c^T (a ~16x16 block over the coarse dofs touching
+    c) is exact, and sum_{c in G} scatter(K_c) = A_G^(l) — the same batched
+    scatter pattern as level 0, so setup stays O(n_cells) at every level,
   * the local space spans every previous-level coarse dof whose support
-    touches G (members + boundary ring — the analog of shared nodes at
-    level 0),
-  * PoU weights w_i = diag(A_G^(l))_i / diag(A_l)_i; since every fine cell
-    belongs to exactly one super-agglomerate, sum_G diag(A_G^(l)) equals the
-    Galerkin coarse diagonal exactly and the partition of unity is preserved
-    at every level.
+    touches G (members + boundary ring — the analog of shared nodes),
+  * the eigenproblem is solved in the orthonormalized function space via the
+    patch Gram M_G = R_G R_G^T (also assembled dof-wise, never in the fine
+    space): overlapping PoU rows can be exactly dependent, so the naive
+    generalized pencil is degenerate; with M_G = Q L Q^T (rank r) we solve
+    W^T A_G^(l) W for W = Q_r L_r^{-1/2} and map back c_j = W y_j,
+  * PoU weights w_i = diag(A_G^(l))_i / diag(A_l)_i; every fine cell belongs
+    to exactly one super-agglomerate, so the partition of unity telescopes
+    through all levels.
 """
 
 from __future__ import annotations
@@ -29,7 +32,8 @@ from mfmg_tpu.fem.mesh import Mesh
 
 
 def group_agglomerates(mesh: Mesh, agg_ids: np.ndarray, block_dims) -> np.ndarray:
-    """super_of_agg: (n_agg,) group id for each previous-level agglomerate."""
+    """super_of_agg: (n_agg,) group id for each previous-level agglomerate
+    (centroid-layer blocking — exact for structured agglomerate grids)."""
     n_agg = int(agg_ids.max()) + 1
     centroids = np.zeros((n_agg, mesh.dim))
     counts = np.bincount(agg_ids, minlength=n_agg).astype(float)
@@ -37,14 +41,11 @@ def group_agglomerates(mesh: Mesh, agg_ids: np.ndarray, block_dims) -> np.ndarra
     np.add.at(centroids, agg_ids, cell_centers)
     centroids /= counts[:, None]
 
-    # order agglomerate centroids onto a virtual grid: sort by (z, y, x) and
-    # use rank-based block grouping per axis
     super_mi = np.zeros((n_agg, mesh.dim), dtype=np.int64)
     for d in range(mesh.dim):
         vals = np.round(centroids[:, d] / max(1e-12, np.ptp(centroids[:, d]) + 1e-30) * 1e8)
         _, layer = np.unique(vals, return_inverse=True)
         super_mi[:, d] = layer // block_dims[d]
-    # flatten
     out = np.zeros(n_agg, dtype=np.int64)
     stride = 1
     for d in range(mesh.dim):
@@ -55,81 +56,107 @@ def group_agglomerates(mesh: Mesh, agg_ids: np.ndarray, block_dims) -> np.ndarra
     return out
 
 
+def _dof_row_structure(R: sp.csr_matrix):
+    """Padded per-dof (rows, values) of R's columns: which coarse rows touch
+    each fine dof.  (n_dofs, q_max) with -1 padding."""
+    C = R.tocsc()
+    n_dofs = C.shape[1]
+    q = np.diff(C.indptr)
+    q_max = int(q.max()) if n_dofs else 0
+    rows = -np.ones((n_dofs, q_max), dtype=np.int64)
+    vals = np.zeros((n_dofs, q_max))
+    if C.nnz:
+        d_idx = np.repeat(np.arange(n_dofs), q)
+        pos = np.arange(C.nnz) - np.repeat(C.indptr[:-1], q)
+        rows[d_idx, pos] = C.indices
+        vals[d_idx, pos] = C.data
+    return rows, vals
+
+
 def build_recursive_restriction(mesh: Mesh, A_loc: np.ndarray,
                                 cell_agg_prev: np.ndarray,
                                 R_prev_local: sp.csr_matrix,
                                 A_coarse_prev: sp.csr_matrix,
                                 boundary_dofs: np.ndarray,
                                 n_ev: int, block_dims) -> tuple:
-    """One more AMGe level.
+    """One more AMGe level; returns (R_l csr over previous coarse, cell_super).
 
-    cell_agg_prev : (n_cells,) previous-level agglomerate id per fine cell
-    R_prev_local  : previous composed restriction (n_prev_coarse, n_fine)
-    A_coarse_prev : previous Galerkin operator (n_prev_coarse square)
-    Returns (R_l (n_new_coarse, n_prev_coarse) csr, cell_agg_new).
+    Dirichlet handling: constrained fine dofs are eliminated from the patch
+    operator and the Gram (their R-row values zeroed), mirroring the level-0
+    elimination.
     """
-    from mfmg_tpu import native
-
     super_of_agg = group_agglomerates(mesh, cell_agg_prev, block_dims)
     cell_super = super_of_agg[cell_agg_prev]
-    n_super = int(super_of_agg.max()) + 1
+    n_super = int(cell_super.max()) + 1
     coarse_diag = np.asarray(A_coarse_prev.diagonal())
-    n_loc = mesh.n_loc
 
-    rows, cols, vals = [], [], []
-    R_prev_csr = R_prev_local.tocsr()
-    R_prev_csc = R_prev_local.tocsc()
+    R = R_prev_local.tocsr()
+    dof_rows, dof_vals = _dof_row_structure(R)
+    con_cell = boundary_dofs[mesh.cells]                   # (n_cells, n_loc)
+
+    rows_out, cols_out, vals_out = [], [], []
+    order = np.argsort(cell_super, kind="stable")
+    counts = np.bincount(cell_super, minlength=n_super)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+
     for G in range(n_super):
-        cells_G = np.nonzero(cell_super == G)[0]
-        dofs = mesh.cells[cells_G]
-        uniq, inv = np.unique(dofs, return_inverse=True)
-        m = len(uniq)
-        local = inv.reshape(dofs.shape)
-        # Neumann patch assembly (native kernel or numpy fallback)
-        A_G = native.assemble_patch(cells_G, local, A_loc, m)
-        if A_G is None:
-            A_G = np.zeros((m, m))
-            r = np.broadcast_to(local[:, :, None], (len(cells_G), n_loc, n_loc))
-            c = np.broadcast_to(local[:, None, :], (len(cells_G), n_loc, n_loc))
-            np.add.at(A_G, (r.reshape(-1), c.reshape(-1)), A_loc[cells_G].reshape(-1))
-        # Dirichlet elimination on the patch (raw diag kept)
-        con = boundary_dofs[uniq]
-        dG = np.diag(A_G).copy()
-        keep = ~con
-        A_G *= keep[:, None] * keep[None, :]
-        A_G[np.diag_indices(m)] = np.where(con, dG, np.diag(A_G))
+        cells_G = order[offsets[G]: offsets[G + 1]]
+        cdofs = mesh.cells[cells_G]                        # (nc, n_loc)
+        D_G = np.unique(cdofs)
+        member_rows = np.unique(dof_rows[D_G])
+        member_rows = member_rows[member_rows >= 0]
+        m1 = len(member_rows)
+        if m1 == 0:
+            continue
 
-        # ALL previous-level coarse dofs whose support touches G's dofs —
-        # members plus the boundary ring, exactly like shared nodes at level
-        # 0 (without the ring the partition of unity breaks at super-agg
-        # boundaries and multilevel rates collapse).
-        member_rows = np.unique(R_prev_csc[:, uniq].tocoo().row)
-        Rl = R_prev_csr[member_rows][:, uniq].toarray()       # (m1, m)
-        m1 = Rl.shape[0]
-        diag1 = np.einsum("im,mn,in->i", Rl, A_G, Rl)          # diag(Rl A_G Rl^T)
-        # The local coarse basis (rows of Rl) is neither orthonormal nor even
-        # independent (overlapping PoU rows can be exactly dependent), so the
-        # generalized pencil (Rl A_G Rl^T, Rl Rl^T) is degenerate and its
-        # regularized bottom spectrum is spurious.  Solve instead in the
-        # orthonormalized ROW SPACE via SVD: with Rl = U S V^T (rank r),
-        # eigensolve W^T A_G W for W = V_r, then map back with the
-        # pseudoinverse coefficients c_j = U_r S_r^{-1} y_j.
-        U, S, Vt = np.linalg.svd(Rl, full_matrices=False)
-        r = int(np.sum(S > 1e-10 * S[0]))
-        W = Vt[:r].T                                           # (m, r) orthonormal
-        A_red = W.T @ A_G @ W
+        # local Rl per cell: (nc, m1, n_loc), values of the touching rows
+        cr = dof_rows[cdofs]                               # (nc, n_loc, q)
+        cv = dof_vals[cdofs]
+        cv = np.where(con_cell[cells_G][:, :, None], 0.0, cv)   # eliminate
+        pos = np.searchsorted(member_rows, np.maximum(cr, 0))
+        valid = cr >= 0
+        nc, n_loc, qm = cr.shape
+        Rl = np.zeros((nc, m1, n_loc))
+        ci = np.broadcast_to(np.arange(nc)[:, None, None], cr.shape)
+        li = np.broadcast_to(np.arange(n_loc)[None, :, None], cr.shape)
+        Rl[ci[valid], pos[valid], li[valid]] = cv[valid]
+
+        # A1 = sum_c Rl_c A_c Rl_c^T  (exact Galerkin of the Neumann patch)
+        K = np.einsum("cri,cij,csj->rs", Rl, A_loc[cells_G], Rl, optimize=True)
+        A1 = 0.5 * (K + K.T)
+        diag1 = np.diag(A1).copy()
+
+        # patch Gram M = sum_{d in D_G} r_d r_d^T (dof-wise)
+        dr = dof_rows[D_G]
+        dv = np.where(boundary_dofs[D_G][:, None], 0.0, dof_vals[D_G])
+        dpos = np.searchsorted(member_rows, np.maximum(dr, 0))
+        dval = np.where(dr >= 0, dv, 0.0)
+        M = np.zeros((m1, m1))
+        outer = np.einsum("dq,dp->dqp", dval, dval)
+        di = np.broadcast_to(dpos[:, :, None], outer.shape)
+        dj = np.broadcast_to(dpos[:, None, :], outer.shape)
+        np.add.at(M, (di.reshape(-1), dj.reshape(-1)), outer.reshape(-1))
+        M = 0.5 * (M + M.T)
+
+        # SVD-reduced eigenproblem (degenerate-pencil-safe)
+        lam, Q = np.linalg.eigh(M)
+        r = int(np.sum(lam > 1e-10 * max(lam[-1], 1e-300)))
+        if r == 0:
+            continue
+        W = Q[:, m1 - r:] / np.sqrt(lam[m1 - r:])
+        A_red = W.T @ A1 @ W
         A_red = 0.5 * (A_red + A_red.T)
         w_, y_ = np.linalg.eigh(A_red)
         kk = min(n_ev, r)
         w_pou = diag1 / coarse_diag[member_rows]
         for j in range(kk):
-            c_j = U[:, :r] @ (y_[:, j] / S[:r])
-            rows.append(np.full(m1, G * n_ev + j))
-            cols.append(member_rows)
-            vals.append(w_pou * c_j)
+            c_j = W @ y_[:, j]
+            rows_out.append(np.full(m1, G * n_ev + j))
+            cols_out.append(member_rows)
+            vals_out.append(w_pou * c_j)
 
-    R_l = sp.csr_matrix((np.concatenate(vals),
-                         (np.concatenate(rows), np.concatenate(cols))),
+    R_l = sp.csr_matrix((np.concatenate(vals_out),
+                         (np.concatenate(rows_out), np.concatenate(cols_out))),
                         shape=(n_super * n_ev, A_coarse_prev.shape[0]))
     nonzero = np.diff(R_l.indptr) > 0
     return R_l[nonzero], cell_super

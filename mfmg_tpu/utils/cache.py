@@ -19,15 +19,17 @@ def enable_compilation_cache(path: str | None = None) -> None:
         return
     import jax
 
+    # Only cache for accelerator backends: CPU compiles are fast locally, and
+    # CPU AOT executables produced by a remote compile service carry target
+    # features the local host may lack (SIGILL risk).
+    import jax
+    backend = jax.default_backend()
+    if backend == "cpu":
+        _enabled = True
+        return
     path = path or os.environ.get("MFMG_TPU_CACHE_DIR") or os.path.expanduser(
         "~/.cache/mfmg_tpu_xla")
-    # separate per backend: AOT CPU executables compiled by a remote service
-    # are not portable across machines (feature-mismatch SIGILL risk)
-    try:
-        import jax
-        path = os.path.join(path, jax.default_backend())
-    except Exception:
-        pass
+    path = os.path.join(path, backend)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
