@@ -144,6 +144,20 @@ def main():
     iters = int(info["iterations"])
     log(f"pcg: {iters} iterations, relres {float(info['relres']):.2e}")
 
+    # speed-of-light accounting (SURVEY §7.8): bytes each V-cycle must move
+    # from HBM vs the calibrated ~187 GB/s large-stream bandwidth of this
+    # device (see memory notes).
+    fine_op = levels[0].op
+    coeff_b = int(np.prod(fine_op.coeffs.shape)) * 4
+    vec_b = prob.n_dofs * 4
+    n_apply = 2 * (2 * cfg.smoother.degree - 1) + 1    # cheb pre+post + residual
+    coarse_b = int(np.prod(hier.levels[-1].coarse.inv.shape)) * 4
+    W_b = int(np.prod(levels[0].transfer.W.shape)) * 4 * 2
+    bytes_cycle = n_apply * (coeff_b + 2 * vec_b) + coarse_b + W_b
+    achieved = bytes_cycle / dt / 1e9
+    log(f"speed-of-light: {bytes_cycle/1e6:.0f} MB/cycle in {dt*1e3:.2f} ms "
+        f"-> {achieved:.0f} GB/s effective HBM bandwidth")
+
     print(json.dumps({"metric": "vcycle_dof_per_s", "value": dof_s,
                       "unit": "DoF/s", "vs_baseline": dof_s / BASELINE_DOF_S,
                       "extra": {"spmv_nnz_per_s": nnz_s,

@@ -72,11 +72,8 @@ def hyper_ball(dim: int, n_refinements: int, degree: int = 1,
     mesh = from_cell_complex(verts, cells_v, degree)
     if distort_random:
         rng = np.random.default_rng(seed)
-        # min adjacent edge length per mesh: use min cell edge globally
-        xe = mesh.nodes[mesh.cells]
-        h_min = np.inf
-        for d in range(dim):
-            h_min = min(h_min, np.abs(np.diff(xe[:, :, d], axis=1)).max(initial=0))
+        # shortest first-edge length as the distortion scale (GridTools::
+        # distort_random uses the shortest adjacent edge per vertex)
         edge = np.linalg.norm(mesh.nodes[mesh.cells[:, 1]] - mesh.nodes[mesh.cells[:, 0]], axis=1)
         h_min = edge.min()
         shift = rng.uniform(-1.0, 1.0, size=mesh.nodes.shape) * distort_factor * h_min
