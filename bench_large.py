@@ -1,0 +1,86 @@
+"""Large-scale configuration: 2.15M-dof 3D variable-coefficient Laplace.
+
+Not run by the round driver (setup exceeds its window); demonstrates the
+production-scale path: 128^3 cells, Q1, 3-level recursive spectral AMGe
+(4x4x4 agglomerates -> 65536 -> 8192 coarse), stencil fine level.
+
+    python bench_large.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from mfmg_tpu import Config, Hierarchy, LaplaceProblem
+    from mfmg_tpu.amge.hierarchy import _vcycle
+    from mfmg_tpu.config import AgglomerationConfig, CoarseConfig, SmootherConfig
+
+    t0 = time.perf_counter()
+    prob = LaplaceProblem.hyper_cube(3, 7, material_property="linear")
+    log(f"problem: n_dofs={prob.n_dofs} nnz={prob.A.nnz} "
+        f"({time.perf_counter()-t0:.0f}s)")
+    cfg = Config(max_levels=3, operator="stencil", dtype="float32",
+                 smoother=SmootherConfig(type="chebyshev", degree=2),
+                 agglomeration=AgglomerationConfig(nx=4, ny=4, nz=4),
+                 coarse=CoarseConfig(type="direct"))
+    import os
+    os.environ.setdefault("MFMG_TPU_VERBOSE", "1")
+    hier = Hierarchy(prob, cfg)
+    log(f"hierarchy: sizes {[A.shape[0] for A in hier._A_per_level]} "
+        f"setup total {time.perf_counter()-t0:.0f}s")
+
+    levels = tuple(hier.levels)
+    nss = cfg.smoother.n_smoothing_steps
+
+    @partial(jax.jit, static_argnames=("n",))
+    def cycles(levels, b, x, n):
+        return jax.lax.fori_loop(
+            0, n, lambda i, x: _vcycle(levels, b, x, 0, nss, False), x)
+
+    b = jnp.asarray(np.random.default_rng(0).uniform(
+        size=prob.n_dofs).astype(np.float32))
+
+    def timed(n):
+        seed = int.from_bytes(os.urandom(4), "little")
+        v = jnp.asarray(np.random.default_rng(seed).uniform(
+            size=prob.n_dofs).astype(np.float32))
+        jax.block_until_ready(v)
+        t0 = time.perf_counter()
+        out = cycles(levels, b, v, n)
+        assert np.isfinite(float(jnp.vdot(out, out)))
+        return time.perf_counter() - t0
+
+    timed(3), timed(20)
+    dt = None
+    for _ in range(5):
+        t_lo, t_hi = timed(3), timed(20)
+        if 0 < t_lo < t_hi:
+            dt = (t_hi - t_lo) / 17
+            break
+    assert dt is not None
+    log(f"vcycle: {dt*1e3:.3f} ms -> {prob.n_dofs/dt:.3e} DoF/s")
+
+    xs, info = hier.solve_cg(b, tol=1e-5, maxiter=60)
+    log(f"pcg: {int(info['iterations'])} iterations, relres {float(info['relres']):.2e}")
+    print(json.dumps({"metric": "vcycle_dof_per_s_large", "value": prob.n_dofs / dt,
+                      "unit": "DoF/s",
+                      "extra": {"n_dofs": prob.n_dofs, "ms_per_vcycle": dt * 1e3,
+                                "pcg_iterations": int(info["iterations"])}}))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,10 @@ def main(argv=None):
                    help="CG-preconditioner mode (default: 20 V-cycles + rate)")
     p.add_argument("--n-refinements", type=int, default=None)
     p.add_argument("--dtype", default=None)
+    p.add_argument("--max-levels", type=int, default=None)
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="write a jax.profiler trace of the apply phase "
+                        "(the reference's TimerOutput analog at kernel level)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -55,6 +59,8 @@ def main(argv=None):
         cfg.operator = args.operator
     if args.dtype:
         cfg.dtype = args.dtype
+    if args.max_levels:
+        cfg.max_levels = args.max_levels
 
     laplace = cfg_dict.get("laplace", {})
     n_ref = args.n_refinements or int(laplace.get("n_refinements", 3))
@@ -78,19 +84,26 @@ def main(argv=None):
           f"grid complexity: {hier.grid_complexity():.3f}  "
           f"operator complexity: {hier.operator_complexity():.3f}")
 
+    import contextlib
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        import jax
+        profile_ctx = jax.profiler.trace(args.profile)
+
     rng = np.random.default_rng(0)
-    if args.solve:
-        b = rng.uniform(size=prob.n_dofs)
-        b[prob.constrained] = 0.0
-        with timer.section("Apply: CG solve"):
-            x, info = hier.solve_cg(jnp.asarray(b, dtype=hier.dtype),
-                                    tol=args.tolerance)
-        print(f"Solved in {int(info['iterations'])} iterations, "
-              f"relative residual {float(info['relres']):.3e}")
-    else:
-        with timer.section("Apply: 20 V-cycles"):
-            rate = measure_vcycle_rate(hier, n_cycles=20, seed=0)
-        print(f"Convergence rate: {rate:.10f}")
+    with profile_ctx:
+        if args.solve:
+            b = rng.uniform(size=prob.n_dofs)
+            b[prob.constrained] = 0.0
+            with timer.section("Apply: CG solve"):
+                x, info = hier.solve_cg(jnp.asarray(b, dtype=hier.dtype),
+                                        tol=args.tolerance)
+            print(f"Solved in {int(info['iterations'])} iterations, "
+                  f"relative residual {float(info['relres']):.3e}")
+        else:
+            with timer.section("Apply: 20 V-cycles"):
+                rate = measure_vcycle_rate(hier, n_cycles=20, seed=0)
+            print(f"Convergence rate: {rate:.10f}")
 
     print(timer.summary())
     return 0
