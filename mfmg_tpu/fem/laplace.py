@@ -44,17 +44,26 @@ class LaplaceProblem:
         return LaplaceProblem.from_mesh(mesh, material_property)
 
     @staticmethod
-    def from_mesh(mesh: Mesh, material_property: str | Callable = "constant") -> "LaplaceProblem":
+    def from_mesh(mesh: Mesh, material_property: str | Callable = "constant",
+                  local_matrix_fn: Callable | None = None) -> "LaplaceProblem":
+        """Build a problem on any mesh.
+
+        local_matrix_fn(mesh, geom, coeff_at_q) -> (n_cells, n_loc, n_loc)
+        overrides the Laplace bilinear form — the hook for user-defined
+        operators (the analog of implementing a custom MeshEvaluator:
+        everything downstream — AMGe setup, stencil extraction, hierarchy —
+        consumes only the cell matrices)."""
         coefficient = (coeff_mod.get(material_property)
                        if isinstance(material_property, str) else material_property)
         prob = LaplaceProblem(mesh=mesh, coefficient=coefficient)
-        prob._setup()
+        prob._setup(local_matrix_fn)
         return prob
 
-    def _setup(self):
+    def _setup(self, local_matrix_fn=None):
         self.geom = compute_geometry(self.mesh)
         self.coeff_at_q = self.coefficient(self.geom.qpoints_phys)
-        self.A_loc = local_stiffness_matrices(self.mesh, self.geom, self.coeff_at_q)
+        fn = local_matrix_fn or local_stiffness_matrices
+        self.A_loc = fn(self.mesh, self.geom, self.coeff_at_q)
         self.A_raw = assemble_csr(self.mesh.cells, self.A_loc, self.mesh.n_nodes)
         self.diag_raw = np.asarray(self.A_raw.diagonal())
         self.A = eliminate_dirichlet(self.A_raw, self.mesh.boundary_dofs)
