@@ -226,6 +226,13 @@ class Hierarchy:
         if cfg.type == "lanczos":
             from mfmg_tpu.eigen.lanczos import batched_lanczos_smallest
             return batched_lanczos_smallest(batch, cfg, constrained_mode=mode)
+        if cfg.type == "anasazi":
+            from mfmg_tpu.eigen.lobpcg import batched_lobpcg_smallest
+            guess = None
+            if cfg.use_initial_guess and getattr(self, "_level0_eigendata", None):
+                guess = self._level0_eigendata[2]      # previous setup's vectors
+            return batched_lobpcg_smallest(batch, cfg, constrained_mode=mode,
+                                           initial_guess=guess)
         raise ValueError(f"unknown eigensolver type {cfg.type!r}")
 
     # ------------------------------------------------------------- apply --

@@ -22,8 +22,9 @@ class EigensolverConfig:
 
     type: "lapack" (batched dense eigh — the TPU-native default, analog of the
       reference's LAPACK/cuSOLVER paths), "lanczos" (batched Lanczos with
-      Cullum-Willoughby filtering), or "arpack"/"anasazi" (aliases accepted for
-      config compatibility; dispatched to lanczos/lapack equivalents).
+      Cullum-Willoughby filtering), "anasazi" (batched LOBPCG,
+      eigen/lobpcg.py, with use_initial_guess warm-start support), or
+      "arpack" (aliases to lapack: same smallest eigenpairs, computed exactly).
     """
 
     type: str = "lapack"
@@ -185,11 +186,11 @@ def _to_bool(v) -> bool:
 def _canonical_eigensolver(name: str) -> str:
     """Map reference eigensolver names onto the TPU-native implementations.
 
-    arpack (shift-invert Arnoldi) and anasazi (LOBPCG) have no TPU-native
-    equivalent; both target the same smallest eigenpairs, which the batched
-    dense path computes exactly, so they alias to "lapack".
+    "anasazi" runs the batched LOBPCG (eigen/lobpcg.py); "arpack"
+    (shift-invert Arnoldi) targets the same smallest eigenpairs the batched
+    dense path computes exactly, so it aliases to "lapack".
     """
     name = name.strip().lower()
-    if name in ("arpack", "anasazi"):
+    if name == "arpack":
         return "lapack"
     return name

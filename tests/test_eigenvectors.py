@@ -59,3 +59,31 @@ def test_diagonal_lanczos_agrees():
     evals, evecs = batched_lanczos_smallest(batch, cfg, constrained_mode="raw")
     for g in range(batch.n_agg):
         np.testing.assert_allclose(evals[g], [1, 2, 3], atol=1e-8)
+
+
+def test_lobpcg_matches_eigh_and_golden_rate():
+    """Batched LOBPCG (anasazi analog) reproduces the eigh coarse space and
+    the matrix-free golden rate (the reference's anasazi golden 0.0868 sits
+    next to its lanczos golden 0.0880; rates are eigenbasis-invariant)."""
+    from mfmg_tpu import Config, Hierarchy, LaplaceProblem
+    from mfmg_tpu.amge.agglomeration import build_agglomerates
+    from mfmg_tpu.amge.local_problems import build_agglomerate_batch
+    from mfmg_tpu.amge.hierarchy import measure_vcycle_rate
+    from mfmg_tpu.config import AgglomerationConfig, SmootherConfig
+    from mfmg_tpu.eigen.lobpcg import batched_lobpcg_smallest
+
+    prob = LaplaceProblem.hyper_cube(3, 2)
+    agg = build_agglomerates(prob.mesh, AgglomerationConfig(nx=2, ny=2, nz=2))
+    batch = build_agglomerate_batch(prob.mesh, prob.A_loc, agg)
+    cfg_e = EigensolverConfig(n_eigenvectors=2, tolerance=1e-10, max_iterations=100)
+    ev_l, vec_l = batched_lobpcg_smallest(batch, cfg_e, constrained_mode="identity")
+    ev_e, vec_e = batched_smallest_eigenpairs(batch, 2, constrained_mode="identity")
+    np.testing.assert_allclose(ev_l, ev_e, atol=1e-2)   # reference anasazi tol
+
+    cfg = Config(is_preconditioner=False,
+                 eigensolver=EigensolverConfig(type="anasazi", n_eigenvectors=2,
+                                               constrained_mode="identity"),
+                 smoother=SmootherConfig(type="chebyshev", degree=1),
+                 agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2))
+    rate = measure_vcycle_rate(Hierarchy(prob, cfg), 20, seed=0)
+    assert abs(rate - 0.0880045475) < 1e-2, rate
