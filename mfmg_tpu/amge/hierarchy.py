@@ -168,7 +168,16 @@ class Hierarchy:
                     R=ell_from_scipy(R, dtype=self.dtype),
                     RT=ell_from_scipy(R.T.tocsr(), dtype=self.dtype),
                 ))
-            op = ell_from_scipy(A_coarse, dtype=self.dtype)
+            op = None
+            if transfer is not None:
+                # coarse AMGe level on a structured agglomerate grid IS a
+                # block stencil — keep the gather-free path (ops/block_stencil)
+                from mfmg_tpu.ops.block_stencil import block_stencil_from_csr
+                op = block_stencil_from_csr(
+                    A_coarse, transfer.agg_shape,
+                    self.config.eigensolver.n_eigenvectors, dtype=self.dtype)
+            if op is None:
+                op = ell_from_scipy(A_coarse, dtype=self.dtype)
 
     def _build_restrictor(self, level: int) -> sp.csr_matrix:
         """Analog of HierarchyHelpers::build_restrictor for one level.

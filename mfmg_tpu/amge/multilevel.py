@@ -91,6 +91,7 @@ def build_recursive_restriction(mesh: Mesh, A_loc: np.ndarray,
     coarse_diag = np.asarray(A_coarse_prev.diagonal())
 
     R = R_prev_local.tocsr()
+    R_csc = R.tocsc()
     dof_rows, dof_vals = _dof_row_structure(R)
     con_cell = boundary_dofs[mesh.cells]                   # (n_cells, n_loc)
 
@@ -126,16 +127,10 @@ def build_recursive_restriction(mesh: Mesh, A_loc: np.ndarray,
         A1 = 0.5 * (K + K.T)
         diag1 = np.diag(A1).copy()
 
-        # patch Gram M = sum_{d in D_G} r_d r_d^T (dof-wise)
-        dr = dof_rows[D_G]
-        dv = np.where(boundary_dofs[D_G][:, None], 0.0, dof_vals[D_G])
-        dpos = np.searchsorted(member_rows, np.maximum(dr, 0))
-        dval = np.where(dr >= 0, dv, 0.0)
-        M = np.zeros((m1, m1))
-        outer = np.einsum("dq,dp->dqp", dval, dval)
-        di = np.broadcast_to(dpos[:, :, None], outer.shape)
-        dj = np.broadcast_to(dpos[:, None, :], outer.shape)
-        np.add.at(M, (di.reshape(-1), dj.reshape(-1)), outer.reshape(-1))
+        # patch Gram M = sum_{d in D_G} r_d r_d^T, as a small sparse product
+        # (R rows are zero at constrained dofs, so no extra elimination)
+        Rsub = R_csc[:, D_G].tocsr()[member_rows]
+        M = np.asarray((Rsub @ Rsub.T).todense())
         M = 0.5 * (M + M.T)
 
         # SVD-reduced eigenproblem (degenerate-pencil-safe)

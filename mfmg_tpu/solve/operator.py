@@ -30,4 +30,9 @@ def operator_diagonal(op):
     if isinstance(op, StencilOperator):
         zero = op.offsets.index((0,) * len(op.grid_shape))
         return op.coeffs[zero].reshape(-1)
+    from mfmg_tpu.ops.block_stencil import BlockStencilOperator
+    if isinstance(op, BlockStencilOperator):
+        zero = op.offsets.index((0,) * len(op.agg_shape))
+        d = jnp.einsum("...ee->...e", op.coeffs[zero])
+        return d.reshape(-1)
     raise TypeError(f"unknown operator type {type(op)}")

@@ -13,9 +13,8 @@ TPU-native selection:
     semantics follow deal.II PreconditionChebyshev: the eigenvalue interval is
     [max_ev/smoothing_range, max_ev] when smoothing_range > 1, otherwise
     [min_est, max_ev], with max_ev = 1.2 x Lanczos estimate when not given.
-  * "gauss-seidel"/"symmetric gauss-seidel" map to Jacobi-damped variants for
-    now (sequential triangular sweeps do not map to TPU); multicolor GS is the
-    planned native equivalent.
+  * multicolor Gauss-Seidel — the TPU form of the reference's (S)SOR:
+    lattice coloring for stencil operators, greedy coloring for ELL.
 """
 
 from __future__ import annotations
@@ -123,7 +122,20 @@ def _color_operator(op):
     """
     from mfmg_tpu.ops.stencil import StencilOperator
     from mfmg_tpu.ops.sparse import ELLMatrix
+    from mfmg_tpu.ops.block_stencil import BlockStencilOperator
 
+    if isinstance(op, BlockStencilOperator):
+        # lattice coloring of the agglomerate grid x component index:
+        # same-color dofs sit in identical components of non-adjacent blocks
+        base = 2
+        shape = op.agg_shape
+        colors = np.zeros(shape, dtype=np.int64)
+        for d, n in enumerate(shape):
+            idx = np.arange(n) % base
+            colors = colors * base + idx.reshape((-1,) + (1,) * (len(shape) - d - 1))
+        colors = (colors[..., None] * op.n_comp + np.arange(op.n_comp)).reshape(-1)
+        _, colors = np.unique(colors, return_inverse=True)
+        return jnp.asarray(colors.astype(np.int32)), int(colors.max()) + 1
     if isinstance(op, StencilOperator):
         width = max(max(abs(o) for o in off) for off in op.offsets)
         base = width + 1
