@@ -158,6 +158,17 @@ class Hierarchy:
                 transfer = structured_transfer_from_batch(
                     self.problem.mesh, batch, evecs, self.problem.diag_raw,
                     dtype=self.dtype)
+                self._agg_grid = transfer.agg_shape if transfer is not None else None
+            elif level > 0 and cfg.operator == "stencil" and getattr(self, "_agg_grid", None):
+                from mfmg_tpu.ops.structured_transfer import general_window_transfer_from_csr
+                n_ev = cfg.eigensolver.n_eigenvectors
+                out_grid = tuple(reversed(self._super_grid_xyz))
+                stride = tuple(reversed(cfg.agglomeration.block_dims(self.problem.mesh.dim)))
+                transfer = general_window_transfer_from_csr(
+                    R, self._agg_grid, n_ev, out_grid, n_ev, stride,
+                    dtype=self.dtype)
+                if transfer is not None:
+                    self._agg_grid = out_grid
             if transfer is not None:
                 self.levels.append(LevelData(op=op, smoother=smoother,
                                              transfer=transfer))
@@ -173,8 +184,9 @@ class Hierarchy:
                 # coarse AMGe level on a structured agglomerate grid IS a
                 # block stencil — keep the gather-free path (ops/block_stencil)
                 from mfmg_tpu.ops.block_stencil import block_stencil_from_csr
+                coarse_grid = getattr(transfer, "out_grid", None) or transfer.agg_shape
                 op = block_stencil_from_csr(
-                    A_coarse, transfer.agg_shape,
+                    A_coarse, coarse_grid,
                     self.config.eigensolver.n_eigenvectors, dtype=self.dtype)
             if op is None:
                 op = ell_from_scipy(A_coarse, dtype=self.dtype)
@@ -202,12 +214,13 @@ class Hierarchy:
         # reference defaults to 2 levels and delegates deeper hierarchies to
         # ML/AMGX; here the same construction recurses, amge/multilevel.py).
         from mfmg_tpu.amge.multilevel import build_recursive_restriction
-        R_l, cell_super = build_recursive_restriction(
+        R_l, cell_super, super_grid = build_recursive_restriction(
             problem.mesh, problem.A_loc, self._cell_agg, self._R_composed,
             self._A_per_level[level], problem.constrained,
             cfg.eigensolver.n_eigenvectors, cfg.agglomeration.block_dims(problem.mesh.dim))
         self._cell_agg = cell_super
         self._R_composed = (R_l @ self._R_composed).tocsr()
+        self._super_grid_xyz = super_grid
         return R_l
 
     def _constrained_mode(self) -> str:

@@ -48,12 +48,14 @@ def group_agglomerates(mesh: Mesh, agg_ids: np.ndarray, block_dims) -> np.ndarra
         super_mi[:, d] = layer // block_dims[d]
     out = np.zeros(n_agg, dtype=np.int64)
     stride = 1
+    grid = []
     for d in range(mesh.dim):
         n_d = int(super_mi[:, d].max()) + 1
+        grid.append(n_d)
         out += super_mi[:, d] * stride
         stride *= n_d
     _, out = np.unique(out, return_inverse=True)
-    return out
+    return out, tuple(grid)
 
 
 def _dof_row_structure(R: sp.csr_matrix):
@@ -85,7 +87,7 @@ def build_recursive_restriction(mesh: Mesh, A_loc: np.ndarray,
     operator and the Gram (their R-row values zeroed), mirroring the level-0
     elimination.
     """
-    super_of_agg = group_agglomerates(mesh, cell_agg_prev, block_dims)
+    super_of_agg, super_grid = group_agglomerates(mesh, cell_agg_prev, block_dims)
     cell_super = super_of_agg[cell_agg_prev]
     n_super = int(cell_super.max()) + 1
     coarse_diag = np.asarray(A_coarse_prev.diagonal())
@@ -154,4 +156,4 @@ def build_recursive_restriction(mesh: Mesh, A_loc: np.ndarray,
                          (np.concatenate(rows_out), np.concatenate(cols_out))),
                         shape=(n_super * n_ev, A_coarse_prev.shape[0]))
     nonzero = np.diff(R_l.indptr) > 0
-    return R_l[nonzero], cell_super
+    return R_l[nonzero], cell_super, super_grid

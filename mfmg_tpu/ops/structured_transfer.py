@@ -142,6 +142,115 @@ def structured_prolong(tr: StructuredTransfer, xc: jax.Array) -> jax.Array:
     return y_ext[tuple(slice(0, g) for g in tr.grid_shape)].reshape(-1)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GeneralWindowTransfer:
+    """Windowed transfer between two structured block grids with components.
+
+    Used for AMGe levels >= 1, where restriction rows couple a super-block to
+    the member + ring blocks of the previous level: window offsets t in
+    [t0, t0+w) per axis with stride s (w > s+1 allowed, unlike the fine-level
+    StructuredTransfer).  Restriction is a sum of strided-slice einsums;
+    prolongation is derived mechanically as the linear transpose.
+
+    W : (n_out,) + window_shape + (n_in,) + out_grid   weights
+    """
+
+    W: jax.Array
+    window_shape: tuple = dataclasses.field(metadata=dict(static=True))
+    t0: tuple = dataclasses.field(metadata=dict(static=True))
+    stride: tuple = dataclasses.field(metadata=dict(static=True))
+    in_grid: tuple = dataclasses.field(metadata=dict(static=True))
+    out_grid: tuple = dataclasses.field(metadata=dict(static=True))
+    n_in: int = dataclasses.field(metadata=dict(static=True))
+    n_out: int = dataclasses.field(metadata=dict(static=True))
+
+    def restrict(self, x):
+        return _gwt_restrict(self, x)
+
+    def prolong(self, xc):
+        dim = len(self.in_grid)
+        n = int(np.prod(self.in_grid)) * self.n_in
+        f = jax.linear_transpose(
+            lambda v: _gwt_restrict(self, v),
+            jax.ShapeDtypeStruct((n,), self.W.dtype))
+        (y,) = f(xc)
+        return y
+
+
+@jax.jit
+def _gwt_restrict(tr: GeneralWindowTransfer, x: jax.Array) -> jax.Array:
+    dim = len(tr.in_grid)
+    xg = x.reshape(tr.in_grid + (tr.n_in,))
+    # pad so window reads t in [t0, t0+w) at block positions S*s stay in range
+    pad = []
+    for d in range(dim):
+        lo = max(0, -tr.t0[d])
+        hi = max(0, tr.t0[d] + tr.window_shape[d] - 1
+                 + tr.stride[d] * (tr.out_grid[d] - 1) - (tr.in_grid[d] - 1))
+        pad.append((lo, hi))
+    xp = jnp.pad(xg, pad + [(0, 0)])
+    out = jnp.zeros((tr.n_out,) + tr.out_grid, dtype=x.dtype)
+    for t in itertools.product(*[range(w) for w in tr.window_shape]):
+        sl = tuple(slice(t[d], t[d] + tr.stride[d] * (tr.out_grid[d] - 1) + 1,
+                         tr.stride[d]) for d in range(dim)) + (slice(None),)
+        xs = xp[sl]                                     # out_grid + (n_in,)
+        out = out + jnp.einsum("ef...,...f->e...", tr.W[(slice(None),) + t], xs)
+    # (e,) + out_grid -> out_grid + (e,) flat
+    perm = tuple(range(1, dim + 1)) + (0,)
+    return out.transpose(perm).reshape(-1)
+
+
+def general_window_transfer_from_csr(R_l, in_grid, n_in, out_grid, n_out,
+                                     stride, dtype=jnp.float32,
+                                     max_halo: int = 1):
+    """Build a GeneralWindowTransfer from a CSR level-l restriction.
+
+    Decodes every entry: row -> (super S, e_out), col -> (block B, e_in),
+    t = B - S*stride (must lie in [-max_halo, stride + max_halo)); returns
+    None when the sparsity doesn't fit the window (unstructured levels)."""
+    import scipy.sparse as sp
+
+    dim = len(in_grid)
+    A = sp.coo_matrix(R_l)
+    dims_in_xyz = tuple(reversed(in_grid))
+    dims_out_xyz = tuple(reversed(out_grid))
+    if A.shape != (int(np.prod(out_grid)) * n_out, int(np.prod(in_grid)) * n_in):
+        return None
+
+    def decode(idx, n_comp, dims_xyz):
+        e = idx % n_comp
+        g = idx // n_comp
+        mi = []
+        rem = g.copy()
+        for d in range(dim):
+            mi.append(rem % dims_xyz[d])
+            rem //= dims_xyz[d]
+        return e, np.stack(mi, axis=-1)      # x-first coords
+
+    e_out, S = decode(A.row, n_out, dims_out_xyz)
+    e_in, B = decode(A.col, n_in, dims_in_xyz)
+    stride_xyz = tuple(reversed(stride))
+    t = B - S * np.array(stride_xyz)
+    t0_xyz = tuple(-max_halo for _ in range(dim))
+    w_xyz = tuple(stride_xyz[d] + 2 * max_halo for d in range(dim))
+    if np.any(t < np.array(t0_xyz)) or np.any(t >= np.array(t0_xyz) + np.array(w_xyz)):
+        return None
+
+    # W in (e_out, tz, ty, tx, e_in, out-grid C-order) layout
+    window_shape = tuple(reversed(w_xyz))
+    t_rev = (t - np.array(t0_xyz))[:, ::-1]            # z..x window index
+    out_flat = (S * np.cumprod((1,) + dims_out_xyz[:-1])).sum(axis=1)
+    W = np.zeros((n_out,) + window_shape + (n_in, int(np.prod(out_grid))))
+    tidx = tuple(t_rev[:, d] for d in range(dim))
+    np.add.at(W, (e_out,) + tidx + (e_in, out_flat), A.data)
+    W = W.reshape((n_out,) + window_shape + (n_in,) + out_grid)
+    return GeneralWindowTransfer(
+        W=jnp.asarray(W, dtype=dtype), window_shape=window_shape,
+        t0=tuple(reversed(t0_xyz)), stride=tuple(reversed(stride_xyz)),
+        in_grid=in_grid, out_grid=out_grid, n_in=n_in, n_out=n_out)
+
+
 def structured_transfer_from_batch(mesh, batch, evecs, global_diag,
                                    dtype=jnp.float32):
     """Build the windowed-weight transfer from the structured agglomerate
