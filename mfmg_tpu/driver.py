@@ -31,6 +31,8 @@ def main(argv=None):
     p.add_argument("--n-refinements", type=int, default=None)
     p.add_argument("--dtype", default=None)
     p.add_argument("--max-levels", type=int, default=None)
+    p.add_argument("--fe-degree", type=int, default=None,
+                   help="Q_k element degree (laplace.fe_degree in .info)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="write a jax.profiler trace of the apply phase "
                         "(the reference's TimerOutput analog at kernel level)")
@@ -67,16 +69,19 @@ def main(argv=None):
     material = cfg_dict.get("material_property", {}).get("type", "constant")
     mesh_kind = laplace.get("mesh", "hyper_cube")
     distort = str(laplace.get("distort_random", "false")).lower() == "true"
+    fe_degree = args.fe_degree or int(laplace.get("fe_degree", 1))
 
     timer = TimerOutput()
     with timer.section("Setup: problem"):
         if mesh_kind == "hyper_ball":
             from mfmg_tpu.fem.mesh import hyper_ball
             prob = LaplaceProblem.from_mesh(
-                hyper_ball(args.dim, n_ref, distort_random=distort), material)
+                hyper_ball(args.dim, n_ref, degree=fe_degree,
+                           distort_random=distort), material)
         else:
             prob = LaplaceProblem.hyper_cube(
-                args.dim, n_ref, material_property=material, distort_random=distort)
+                args.dim, n_ref, degree=fe_degree, material_property=material,
+                distort_random=distort)
     with timer.section("Setup: hierarchy"):
         hier = Hierarchy(prob, cfg)
 
