@@ -112,21 +112,46 @@ def build_recursive_restriction(mesh: Mesh, A_loc: np.ndarray,
         if m1 == 0:
             continue
 
-        # local Rl per cell: (nc, m1, n_loc), values of the touching rows
+        # Per-cell SMALL local row bases: each cell touches <= n_loc*q rows
+        # but typically ~16; building (nc, m1, n_loc) dense bases makes the
+        # Galerkin contraction O(nc m1^2 n_loc) — catastrophic for large
+        # supers (m1 ~ 400).  Instead: unique rows per cell (r_max ~ 16),
+        # tiny per-cell K_c = Rl_c A_c Rl_c^T, scatter into A1.
         cr = dof_rows[cdofs]                               # (nc, n_loc, q)
         cv = dof_vals[cdofs]
         cv = np.where(con_cell[cells_G][:, :, None], 0.0, cv)   # eliminate
-        pos = np.searchsorted(member_rows, np.maximum(cr, 0))
-        valid = cr >= 0
         nc, n_loc, qm = cr.shape
-        Rl = np.zeros((nc, m1, n_loc))
+        BIG = np.iinfo(np.int64).max
+        allr = np.where(cr < 0, BIG, cr).reshape(nc, -1)
+        srt = np.sort(allr, axis=1)
+        new = np.concatenate([np.ones((nc, 1), bool),
+                              srt[:, 1:] != srt[:, :-1]], axis=1) & (srt < BIG)
+        counts_r = new.sum(axis=1)
+        r_max = max(int(counts_r.max()), 1)
+        crows = np.full((nc, r_max), BIG, dtype=np.int64)
+        widx = np.cumsum(new, axis=1) - 1
+        ci_f = np.broadcast_to(np.arange(nc)[:, None], new.shape)
+        crows[ci_f[new], widx[new]] = srt[new]             # sorted, BIG-padded
+        # slot -> position within crows (row-wise searchsorted via counting)
+        tgt = np.where(cr < 0, BIG - 1, cr).reshape(nc, -1)
+        pos_small = (crows[:, None, :] < tgt[:, :, None]).sum(axis=2)
+        pos_small = np.minimum(pos_small, r_max - 1).reshape(cr.shape)
+        Rl_c = np.zeros((nc, r_max, n_loc))
         ci = np.broadcast_to(np.arange(nc)[:, None, None], cr.shape)
         li = np.broadcast_to(np.arange(n_loc)[None, :, None], cr.shape)
-        Rl[ci[valid], pos[valid], li[valid]] = cv[valid]
+        valid = cr >= 0
+        Rl_c[ci[valid], pos_small[valid], li[valid]] = cv[valid]
 
-        # A1 = sum_c Rl_c A_c Rl_c^T  (exact Galerkin of the Neumann patch)
-        K = np.einsum("cri,cij,csj->rs", Rl, A_loc[cells_G], Rl, optimize=True)
-        A1 = 0.5 * (K + K.T)
+        K = np.einsum("cri,cij,csj->crs", Rl_c, A_loc[cells_G], Rl_c,
+                      optimize=True)                       # (nc, r_max, r_max)
+        gpos = np.searchsorted(member_rows, np.minimum(crows, member_rows[-1]))
+        row_ok = crows < BIG
+        A1 = np.zeros((m1, m1))
+        pi = np.broadcast_to(gpos[:, :, None], K.shape)
+        pj = np.broadcast_to(gpos[:, None, :], K.shape)
+        ok = row_ok[:, :, None] & row_ok[:, None, :]
+        np.add.at(A1, (pi[ok], pj[ok]), K[ok])
+        A1 = 0.5 * (A1 + A1.T)
         diag1 = np.diag(A1).copy()
 
         # patch Gram M = sum_{d in D_G} r_d r_d^T, as a small sparse product
