@@ -28,8 +28,11 @@ import numpy as np
 
 BASELINE_DOF_S = 5.843e5   # round-1 first implementation (ELL gather path)
 
-N_REF = 6
+import os as _env_os
+
+N_REF = int(_env_os.environ.get("MFMG_BENCH_NREF", "6"))
 N_CYCLES = 50
+MAX_LEVELS = int(_env_os.environ.get("MFMG_BENCH_LEVELS", "2"))
 
 
 def log(*a):
@@ -50,7 +53,7 @@ def main():
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '')}")
 
     prob = LaplaceProblem.hyper_cube(3, N_REF, material_property="linear")
-    cfg = Config(operator="stencil", dtype="float32",
+    cfg = Config(operator="stencil", dtype="float32", max_levels=MAX_LEVELS,
                  smoother=SmootherConfig(type="chebyshev", degree=2),
                  agglomeration=AgglomerationConfig(nx=4, ny=4, nz=4),
                  coarse=CoarseConfig(type="direct"))
@@ -147,13 +150,19 @@ def main():
     # speed-of-light accounting (SURVEY §7.8): bytes each V-cycle must move
     # from HBM vs the calibrated ~187 GB/s large-stream bandwidth of this
     # device (see memory notes).
-    fine_op = levels[0].op
-    coeff_b = int(np.prod(fine_op.coeffs.shape)) * 4
-    vec_b = prob.n_dofs * 4
     n_apply = 2 * (2 * cfg.smoother.degree - 1) + 1    # cheb pre+post + residual
-    coarse_b = int(np.prod(hier.levels[-1].coarse.inv.shape)) * 4
-    W_b = int(np.prod(levels[0].transfer.W.shape)) * 4 * 2
-    bytes_cycle = n_apply * (coeff_b + 2 * vec_b) + coarse_b + W_b
+    bytes_cycle = 0
+    for li, lvl in enumerate(levels):
+        n_l = lvl.op.shape[0]
+        if lvl.coarse is not None:                     # coarsest: inv matvec
+            bytes_cycle += int(np.prod(lvl.coarse.inv.shape)) * 4
+            continue
+        coeff_b = int(np.prod(lvl.op.coeffs.shape)) * 4
+        bytes_cycle += n_apply * (coeff_b + 2 * n_l * 4)
+        if lvl.transfer is not None:
+            bytes_cycle += int(np.prod(lvl.transfer.W.shape)) * 4 * 2
+        else:
+            bytes_cycle += (lvl.R.vals.size + lvl.RT.vals.size) * 8
     achieved = bytes_cycle / dt / 1e9
     log(f"speed-of-light: {bytes_cycle/1e6:.0f} MB/cycle in {dt*1e3:.2f} ms "
         f"-> {achieved:.0f} GB/s effective HBM bandwidth")

@@ -57,11 +57,21 @@ def _prolong(lvl, xc):
     return lvl.transfer.prolong(xc) if lvl.transfer is not None else lvl.RT @ xc
 
 
-def _vcycle(levels, b, x, level, n_smoothing_steps, is_preconditioner):
-    """Recursive V-cycle (hierarchy.hpp:246-309), unrolled at trace time."""
-    lvl = levels[level]
-    if level > 0 or is_preconditioner:
+def _vcycle(levels, b, x, level, n_smoothing_steps, is_preconditioner,
+            cycle_type="v"):
+    """Recursive multigrid cycle (hierarchy.hpp:246-309), unrolled at trace
+    time.  cycle_type selects the recursion shape: "v" (one coarse visit, the
+    reference's only cycle), "w" (two), or "f" (an F-cycle recursion followed
+    by a V-cycle sweep) — the deeper cycles pair with the recursive AMGe
+    levels (amge/multilevel.py) the reference delegates to ML/AMGX.
+    """
+    if level == 0 and is_preconditioner:
         x = jnp.zeros_like(b)
+    return _cycle(levels, b, x, level, n_smoothing_steps, cycle_type)
+
+
+def _cycle(levels, b, x, level, n_smoothing_steps, cycle_type):
+    lvl = levels[level]
     if level == len(levels) - 1:
         return lvl.coarse.apply(b)
     for _ in range(n_smoothing_steps):
@@ -69,17 +79,24 @@ def _vcycle(levels, b, x, level, n_smoothing_steps, is_preconditioner):
     # negative residual: res = A x - b (hierarchy.hpp:282-286)
     res = apply_op(lvl.op, x) - b
     b_coarse = _restrict(lvl, res)
-    x_coarse = _vcycle(levels, b_coarse, jnp.zeros_like(b_coarse), level + 1,
-                       n_smoothing_steps, is_preconditioner)
+    x_coarse = jnp.zeros_like(b_coarse)
+    # ("f" recurses F then revisits with V; "w" recurses W twice)
+    sub_cycles = {"v": ("v",), "w": ("w", "w"), "f": ("f", "v")}[cycle_type]
+    for sub in sub_cycles:
+        x_coarse = _cycle(levels, b_coarse, x_coarse, level + 1,
+                          n_smoothing_steps, sub)
     x = x - _prolong(lvl, x_coarse)
     for _ in range(n_smoothing_steps):
         x = lvl.smoother.apply(lvl.op, b, x)
     return x
 
 
-@partial(jax.jit, static_argnames=("n_smoothing_steps", "is_preconditioner"))
-def vcycle(levels, b, x, n_smoothing_steps=1, is_preconditioner=True):
-    return _vcycle(tuple(levels), b, x, 0, n_smoothing_steps, is_preconditioner)
+@partial(jax.jit, static_argnames=("n_smoothing_steps", "is_preconditioner",
+                                   "cycle_type"))
+def vcycle(levels, b, x, n_smoothing_steps=1, is_preconditioner=True,
+           cycle_type="v"):
+    return _vcycle(tuple(levels), b, x, 0, n_smoothing_steps,
+                   is_preconditioner, cycle_type)
 
 
 class Hierarchy:
@@ -265,14 +282,16 @@ class Hierarchy:
             x = jnp.zeros_like(b)
         return vcycle(self.levels, b, x,
                       n_smoothing_steps=self.config.smoother.n_smoothing_steps,
-                      is_preconditioner=self.config.is_preconditioner)
+                      is_preconditioner=self.config.is_preconditioner,
+                      cycle_type=self.config.cycle_type)
 
     def vmult(self, b):
         """Preconditioner application x = M^{-1} b (hierarchy.hpp:238-244)."""
         b = jnp.asarray(b, dtype=self.dtype)
         return vcycle(self.levels, b, jnp.zeros_like(b),
                       n_smoothing_steps=self.config.smoother.n_smoothing_steps,
-                      is_preconditioner=True)
+                      is_preconditioner=True,
+                      cycle_type=self.config.cycle_type)
 
     def solve_cg(self, b, tol=1e-12, maxiter=1000):
         """Hierarchy-preconditioned CG (analog of laplace.hpp:206-219)."""
@@ -281,7 +300,8 @@ class Hierarchy:
 
         def precond(r):
             return vcycle(levels, r, jnp.zeros_like(r),
-                          n_smoothing_steps=nss, is_preconditioner=True)
+                          n_smoothing_steps=nss, is_preconditioner=True,
+                          cycle_type=self.config.cycle_type)
 
         b = jnp.asarray(b, dtype=self.dtype)
         return cg_solve(self.levels[0].op, b, preconditioner=precond,
@@ -321,7 +341,8 @@ def measure_vcycle_rate(hierarchy: Hierarchy, n_cycles: int = 20, seed: int = 0)
     rate = None
     for i in range(n_cycles):
         x = vcycle(hierarchy.levels, b, x, n_smoothing_steps=nss,
-                   is_preconditioner=False)
+                   is_preconditioner=False,
+                   cycle_type=hierarchy.config.cycle_type)
         res = float(jnp.linalg.norm(apply_op(op, x)))
         if res_prev is not None and res_prev > 0:
             rate = res / res_prev

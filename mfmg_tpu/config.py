@@ -123,6 +123,9 @@ class Config:
     max_levels: int = 2
     is_preconditioner: bool = True
     fast_ap: bool = False
+    # Multigrid cycle shape: "v" (the reference's only cycle), "w", or "f".
+    # Only meaningful for max_levels > 2 (all cycles coincide at 2 levels).
+    cycle_type: str = "v"
     eigensolver: EigensolverConfig = dataclasses.field(default_factory=EigensolverConfig)
     smoother: SmootherConfig = dataclasses.field(default_factory=SmootherConfig)
     coarse: CoarseConfig = dataclasses.field(default_factory=CoarseConfig)
@@ -140,6 +143,7 @@ class Config:
         """Build a Config from a nested dict using mfmg's .info key names."""
         cfg = Config()
         cfg.max_levels = int(d.get("max levels", d.get("max_levels", cfg.max_levels)))
+        cfg.cycle_type = str(d.get("cycle type", d.get("cycle_type", cfg.cycle_type))).strip().lower()
         cfg.is_preconditioner = _to_bool(d.get("is preconditioner", d.get("is_preconditioner", cfg.is_preconditioner)))
         cfg.fast_ap = _to_bool(d.get("fast_ap", cfg.fast_ap))
         cfg.operator = d.get("operator", cfg.operator)

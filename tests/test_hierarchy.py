@@ -170,3 +170,24 @@ def test_multilevel_recursive_amge_quality():
     r3 = measure_vcycle_rate(Hierarchy(prob2, cfg3), 20, seed=0)
     r2w = measure_vcycle_rate(Hierarchy(prob2, cfg2_wide), 20, seed=0)
     assert r3 < r2w, (r3, r2w)
+
+
+def test_cycle_types_w_and_f():
+    """W- and F-cycles (cycle_type config) do at least as well as V on a
+    3-level hierarchy, and all cycles coincide exactly at 2 levels."""
+    prob = LaplaceProblem.hyper_cube(3, 3, material_property="linear")
+
+    def mk(L, ct):
+        return Config(max_levels=L, is_preconditioner=False, cycle_type=ct,
+                      smoother=SmootherConfig(type="chebyshev", degree=2),
+                      agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2))
+
+    rates = {ct: measure_vcycle_rate(Hierarchy(prob, mk(3, ct)), 15, seed=0)
+             for ct in ("v", "w", "f")}
+    assert rates["w"] <= rates["v"] + 1e-6, rates
+    assert rates["f"] <= rates["v"] + 1e-6, rates
+
+    # 2-level: every cycle shape is the same algorithm
+    r2 = {ct: measure_vcycle_rate(Hierarchy(prob, mk(2, ct)), 5, seed=0)
+          for ct in ("v", "w", "f")}
+    assert abs(r2["v"] - r2["w"]) < 1e-10 and abs(r2["v"] - r2["f"]) < 1e-10, r2
