@@ -307,14 +307,28 @@ class Hierarchy:
         return cg_solve(self.levels[0].op, b, preconditioner=precond,
                         tol=tol, maxiter=maxiter)
 
+    # ------------------------------------------------------- persistence --
+    def save(self, path: str) -> None:
+        """Persist the built hierarchy (skip setup on reload); utils/serialize."""
+        from mfmg_tpu.utils.serialize import save_hierarchy
+        save_hierarchy(self, path)
+
+    @staticmethod
+    def load(path: str, problem=None) -> "Hierarchy":
+        from mfmg_tpu.utils.serialize import load_hierarchy
+        return load_hierarchy(path, problem)
+
     # ------------------------------------------------------------ metrics --
     def grid_complexity(self) -> float:
         """Σ level sizes / fine size (operator.hpp:49-51 contract)."""
-        sizes = [A.shape[0] for A in self._A_per_level]
+        sizes = ([A.shape[0] for A in self._A_per_level]
+                 if hasattr(self, "_A_per_level") else
+                 [s[0] for s in self._A_shapes])
         return sum(sizes) / sizes[0]
 
     def operator_complexity(self) -> float:
-        nnzs = [A.nnz for A in self._A_per_level]
+        nnzs = ([A.nnz for A in self._A_per_level]
+                if hasattr(self, "_A_per_level") else list(self._A_nnzs))
         return sum(nnzs) / nnzs[0]
 
 

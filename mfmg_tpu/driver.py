@@ -36,6 +36,14 @@ def main(argv=None):
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="write a jax.profiler trace of the apply phase "
                         "(the reference's TimerOutput analog at kernel level)")
+    p.add_argument("--spmd", type=int, metavar="N", default=None,
+                   help="run the apply phase slab-sharded over N devices "
+                        "(the analog of the reference's 'mpirun -n N "
+                        "hierarchy_driver'; requires the stencil operator)")
+    p.add_argument("--save-hierarchy", metavar="PATH", default=None,
+                   help="persist the built hierarchy (npz) for later reuse")
+    p.add_argument("--load-hierarchy", metavar="PATH", default=None,
+                   help="skip setup; reload a hierarchy saved earlier")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -83,7 +91,12 @@ def main(argv=None):
                 args.dim, n_ref, degree=fe_degree, material_property=material,
                 distort_random=distort)
     with timer.section("Setup: hierarchy"):
-        hier = Hierarchy(prob, cfg)
+        if args.load_hierarchy:
+            hier = Hierarchy.load(args.load_hierarchy, prob)
+        else:
+            hier = Hierarchy(prob, cfg)
+    if args.save_hierarchy:
+        hier.save(args.save_hierarchy)
 
     print(f"n_dofs: {prob.n_dofs}  levels: {len(hier.levels)}  "
           f"grid complexity: {hier.grid_complexity():.3f}  "
@@ -96,6 +109,28 @@ def main(argv=None):
         profile_ctx = jax.profiler.trace(args.profile)
 
     rng = np.random.default_rng(0)
+    if args.spmd:
+        from mfmg_tpu.parallel.spmd import build_spmd_vcycle
+        from mfmg_tpu.solve.operator import apply_op
+        sv = build_spmd_vcycle(hier, n_devices=args.spmd)
+        x = rng.uniform(size=prob.n_dofs)
+        x[prob.constrained] = 0.0
+        xg = sv.to_grid(x.astype(hier.dtype))
+        bg = sv.to_grid(np.zeros(prob.n_dofs, dtype=hier.dtype))
+        rate = None
+        res_prev = None
+        with profile_ctx, timer.section(f"Apply: 20 V-cycles (spmd n={args.spmd})"):
+            for _ in range(20):
+                xg = sv.fn(bg, xg)
+                xf = jnp.asarray(sv.from_grid(xg))
+                res = float(jnp.linalg.norm(apply_op(hier.levels[0].op, xf)))
+                if res_prev:
+                    rate = res / res_prev
+                nrm = float(np.linalg.norm(np.asarray(xg)))
+                xg, res_prev = xg / nrm, res / nrm
+        print(f"Convergence rate: {rate:.10f}")
+        print(timer.summary())
+        return 0
     with profile_ctx:
         if args.solve:
             b = rng.uniform(size=prob.n_dofs)

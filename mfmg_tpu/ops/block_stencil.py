@@ -26,12 +26,22 @@ import scipy.sparse as sp
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BlockStencilOperator:
-    """coeffs: (n_offsets,) + agg_shape + (n_ev, n_ev); offsets/shape static."""
+    """coeffs: (n_offsets,) + agg_shape + (n_ev, n_ev); offsets/shape static.
+
+    K is the same data in patches layout, (n_comp, n_comp*(2k+1)^dim, n_sites):
+    the apply extracts all windows in ONE `conv_general_dilated_patches` op
+    (im2col as a single MXU-friendly convolution) and contracts with K in one
+    batched einsum — two large ops instead of n_offsets tiny slice-einsums,
+    which dominate multilevel V-cycle time on TPU (measured: the slice-einsum
+    coarse level doubled the 3-level cycle to 3.34 ms at 274k dofs).
+    """
 
     coeffs: jax.Array
+    K: jax.Array
     offsets: tuple = dataclasses.field(metadata=dict(static=True))
     agg_shape: tuple = dataclasses.field(metadata=dict(static=True))
     n_comp: int = dataclasses.field(metadata=dict(static=True))
+    radius: int = dataclasses.field(metadata=dict(static=True), default=1)
 
     @property
     def shape(self):
@@ -44,17 +54,17 @@ class BlockStencilOperator:
 
 @jax.jit
 def block_stencil_apply(op: BlockStencilOperator, x: jax.Array) -> jax.Array:
-    k = max(max(abs(o) for o in off) for off in op.offsets)
-    dim = len(op.agg_shape)
-    xg = x.reshape(op.agg_shape + (op.n_comp,))
-    pad = [(k, k)] * dim + [(0, 0)]
-    xp = jnp.pad(xg, pad)
-    terms = None
-    for i, off in enumerate(op.offsets):
-        sl = tuple(slice(k + o, k + o + n) for o, n in zip(off, op.agg_shape)) + (slice(None),)
-        t = jnp.einsum("...ef,...f->...e", op.coeffs[i], xp[sl])
-        terms = t if terms is None else terms + t
-    return terms.reshape(x.shape)
+    k, dim = op.radius, len(op.agg_shape)
+    w = 2 * k + 1
+    # (1, n_comp, *agg_shape) -> patches (1, n_comp*w^dim, *agg_shape),
+    # channel-major patch layout (f, tz, ty, tx)
+    xg = jnp.moveaxis(x.reshape(op.agg_shape + (op.n_comp,)), -1, 0)[None]
+    pat = jax.lax.conv_general_dilated_patches(
+        xg, filter_shape=(w,) * dim, window_strides=(1,) * dim,
+        padding=[(k, k)] * dim)
+    pat = pat.reshape(op.n_comp * w ** dim, -1)          # (f*nt, n_sites)
+    y = jnp.einsum("eks,ks->se", op.K, pat)              # (n_sites, n_comp)
+    return y.reshape(x.shape)
 
 
 def block_stencil_from_csr(A: sp.spmatrix, agg_shape: tuple, n_comp: int,
@@ -100,9 +110,15 @@ def block_stencil_from_csr(A: sp.spmatrix, agg_shape: tuple, n_comp: int,
     np.add.at(coeffs, (oid, g_flat_x_first, er, ec), A.data)
     coeffs = coeffs.reshape((len(offsets),) + agg_shape + (n_comp, n_comp))
 
+    # patches-layout tensor K[e, f*nt + t, site]: t = C-order (z..x) window
+    # index, matching conv_general_dilated_patches' channel-major (f, t) order
+    nt = (2 * max_radius + 1) ** dim
+    K = coeffs.reshape(nt, n_agg, n_comp, n_comp)        # (t, s, e, f)
+    K = K.transpose(2, 3, 0, 1).reshape(n_comp, n_comp * nt, n_agg)
     nonzero = [i for i in range(len(offsets)) if np.any(coeffs[i])]
     coeffs = coeffs[nonzero]
-    offsets = tuple(offsets[i] for i in nonzero)
+    offsets_nz = tuple(offsets[i] for i in nonzero)
     return BlockStencilOperator(coeffs=jnp.asarray(coeffs, dtype=dtype),
-                                offsets=offsets, agg_shape=agg_shape,
-                                n_comp=n_comp)
+                                K=jnp.asarray(K, dtype=dtype),
+                                offsets=offsets_nz, agg_shape=agg_shape,
+                                n_comp=n_comp, radius=max_radius)

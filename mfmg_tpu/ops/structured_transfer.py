@@ -180,25 +180,30 @@ class GeneralWindowTransfer:
 
 @jax.jit
 def _gwt_restrict(tr: GeneralWindowTransfer, x: jax.Array) -> jax.Array:
+    """All windows in ONE conv_general_dilated_patches (strided im2col), then
+    one batched contraction — instead of prod(window_shape) strided-slice
+    einsums (216 for a 4-stride halo-1 3D window), whose per-op overhead
+    dominates multilevel cycles on TPU."""
     dim = len(tr.in_grid)
-    xg = x.reshape(tr.in_grid + (tr.n_in,))
-    # pad so window reads t in [t0, t0+w) at block positions S*s stay in range
+    xg = jnp.moveaxis(x.reshape(tr.in_grid + (tr.n_in,)), -1, 0)[None]
+    # padding (exact, possibly negative on the high side) so output spatial
+    # dims equal out_grid: window t in [t0, t0+w) at block positions S*s
     pad = []
     for d in range(dim):
-        lo = max(0, -tr.t0[d])
-        hi = max(0, tr.t0[d] + tr.window_shape[d] - 1
-                 + tr.stride[d] * (tr.out_grid[d] - 1) - (tr.in_grid[d] - 1))
+        lo = -tr.t0[d]
+        hi = (tr.t0[d] + tr.window_shape[d] - 1
+              + tr.stride[d] * (tr.out_grid[d] - 1) - (tr.in_grid[d] - 1))
         pad.append((lo, hi))
-    xp = jnp.pad(xg, pad + [(0, 0)])
-    out = jnp.zeros((tr.n_out,) + tr.out_grid, dtype=x.dtype)
-    for t in itertools.product(*[range(w) for w in tr.window_shape]):
-        sl = tuple(slice(t[d], t[d] + tr.stride[d] * (tr.out_grid[d] - 1) + 1,
-                         tr.stride[d]) for d in range(dim)) + (slice(None),)
-        xs = xp[sl]                                     # out_grid + (n_in,)
-        out = out + jnp.einsum("ef...,...f->e...", tr.W[(slice(None),) + t], xs)
-    # (e,) + out_grid -> out_grid + (e,) flat
-    perm = tuple(range(1, dim + 1)) + (0,)
-    return out.transpose(perm).reshape(-1)
+    pat = jax.lax.conv_general_dilated_patches(
+        xg, filter_shape=tr.window_shape, window_strides=tr.stride,
+        padding=pad)                      # (1, n_in*nt, *out_grid), (f,t)-major
+    nt = int(np.prod(tr.window_shape))
+    pat = pat.reshape(tr.n_in * nt, -1)                  # (f*nt, n_S)
+    # W: (n_out, *win, n_in, *out_grid) -> (n_out, n_in*nt, n_S)
+    Wk = jnp.moveaxis(tr.W.reshape((tr.n_out, nt, tr.n_in, -1)), 2, 1)
+    Wk = Wk.reshape(tr.n_out, tr.n_in * nt, -1)
+    out = jnp.einsum("eks,ks->se", Wk, pat)              # (n_S, n_out)
+    return out.reshape(-1)
 
 
 def general_window_transfer_from_csr(R_l, in_grid, n_in, out_grid, n_out,
