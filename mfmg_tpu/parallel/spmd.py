@@ -66,15 +66,19 @@ def build_spmd_vcycle(hier, n_devices: int | None = None, devices=None) -> SpmdV
     lvl0 = hier.levels[0]
     if not isinstance(lvl0.op, StencilOperator) or lvl0.transfer is None:
         raise ValueError("SPMD V-cycle needs the stencil operator + structured transfer")
-    if len(hier.levels) != 2 or not isinstance(hier.levels[1].coarse, DirectCoarseSolver):
-        raise ValueError("SPMD V-cycle supports 2 levels with the direct coarse solver")
+    if not isinstance(hier.levels[-1].coarse, DirectCoarseSolver):
+        raise ValueError("SPMD V-cycle needs the direct coarse solver")
 
     mesh = make_mesh(n_devices, devices)
     Pn = int(mesh.devices.size)
     op: StencilOperator = lvl0.op
     tr: StructuredTransfer = lvl0.transfer
     sm = lvl0.smoother
-    inv = hier.levels[1].coarse.inv
+    # levels >= 1 run replicated per device (they are tiny relative to the
+    # fine grid: one agglomerate-grid dof per s^dim fine nodes); only the
+    # 2-level case reduces to the bare inverse matvec.
+    levels_rest = tuple(hier.levels[1:])
+    inv = hier.levels[-1].coarse.inv
     dtype = op.coeffs.dtype
 
     if len(op.grid_shape) != 3:
@@ -198,14 +202,20 @@ def build_spmd_vcycle(hier, n_devices: int | None = None, devices=None) -> SpmdV
         raise ValueError("SPMD V-cycle supports Jacobi/Chebyshev smoothers")
 
     n_smooth = hier.config.smoother.n_smoothing_steps
+    cycle_type = hier.config.cycle_type
 
     @jax.jit
-    def vcycle_fn(coeffs, W, inv, b, x):
+    def vcycle_fn(coeffs, W, rest, b, x):
+        from mfmg_tpu.amge.hierarchy import _cycle
         for _ in range(n_smooth):
             x = smooth(coeffs, b, x)
         res = apply_fn(coeffs, x) - b
         bc = restrict_fn(W, res)
-        xc = inv @ bc
+        if len(rest) == 1:
+            xc = rest[0].coarse.apply(bc)
+        else:
+            # coarser AMGe levels, replicated on every device
+            xc = _cycle(rest, bc, jnp.zeros_like(bc), 0, n_smooth, cycle_type)
         x = x - prolong_fn(xc)
         for _ in range(n_smooth):
             x = smooth(coeffs, b, x)
@@ -213,4 +223,4 @@ def build_spmd_vcycle(hier, n_devices: int | None = None, devices=None) -> SpmdV
 
     return SpmdVcycle(mesh=mesh, grid_shape=(gz_pad, gy, gx),
                       orig_grid=op.grid_shape,
-                      fn=partial(vcycle_fn, coeffs_p, W_pad, inv))
+                      fn=partial(vcycle_fn, coeffs_p, W_pad, levels_rest))

@@ -12,6 +12,8 @@ from functools import partial
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 N_REF = int(os.environ.get("MFMG_BENCH_NREF", "6"))
 LEVELS = int(os.environ.get("MFMG_BENCH_LEVELS", "3"))
 
@@ -73,14 +75,14 @@ def main():
 
     # fine pieces
     two_point(lambda L, v: L[0].op @ v / 27.0, n0, "L0 stencil apply")
-    two_point(lambda L, v: L[0].smoother.apply(L[0].op, v, v) / 27.0, n0,
-              "L0 chebyshev(2) smooth")
+    two_point(lambda L, v: L[0].smoother.apply(L[0].op, jnp.zeros_like(v), v),
+              n0, "L0 chebyshev(2) smooth")
     two_point(lambda L, v: L[0].transfer.prolong(L[0].transfer.restrict(v)) / 27.0,
               n0, "L0 restrict+prolong")
     if len(levels) > 2:
         two_point(lambda L, v: L[1].op @ v / 27.0, n1, "L1 block-stencil apply")
-        two_point(lambda L, v: L[1].smoother.apply(L[1].op, v, v) / 27.0, n1,
-                  "L1 chebyshev(2) smooth")
+        two_point(lambda L, v: L[1].smoother.apply(L[1].op, jnp.zeros_like(v), v),
+                  n1, "L1 chebyshev(2) smooth")
         two_point(lambda L, v: L[1].transfer.prolong(L[1].transfer.restrict(v)) / 27.0,
                   n1, "L1 restrict+prolong")
     two_point(lambda L, v: L[-1].coarse.apply(v) / 27.0, nc, "coarse direct")

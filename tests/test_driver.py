@@ -62,3 +62,27 @@ def test_custom_operator_hook():
                  agglomeration=AgglomerationConfig(nx=2, ny=2))
     rate = measure_vcycle_rate(Hierarchy(prob, cfg), 20, seed=0)
     assert rate < 0.2, rate
+
+
+def test_driver_spmd_mode(capsys):
+    """--spmd N: the sharded apply path from the CLI (analog of the
+    reference's mpirun -n N hierarchy_driver runs)."""
+    rc = main(["-d", "3", "--operator", "stencil", "--n-refinements", "3",
+               "--dtype", "float32", "--spmd", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    rate = float(out.split("Convergence rate:")[1].split()[0])
+    assert 0 < rate < 0.25
+
+
+def test_driver_save_load_hierarchy(tmp_path, capsys):
+    path = str(tmp_path / "hier.npz")
+    rc = main(["-d", "2", "--n-refinements", "4", "--dtype", "float64",
+               "--save-hierarchy", path])
+    assert rc == 0
+    rate_fresh = float(capsys.readouterr().out.split("Convergence rate:")[1].split()[0])
+    rc = main(["-d", "2", "--n-refinements", "4", "--dtype", "float64",
+               "--load-hierarchy", path])
+    assert rc == 0
+    rate_loaded = float(capsys.readouterr().out.split("Convergence rate:")[1].split()[0])
+    assert rate_loaded == pytest.approx(rate_fresh, abs=1e-12)

@@ -77,3 +77,26 @@ def test_gspmd_row_sharded_matches(setup_3d):
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
     g.dryrun_multichip(4)
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_spmd_multilevel_matches_single_device(n_devices):
+    """3-level hierarchy: level 0 sharded, deeper AMGe levels replicated —
+    the sharded cycle still equals the single-device one."""
+    prob = LaplaceProblem.hyper_cube(3, 3, material_property="linear")
+    cfg = Config(operator="stencil", dtype="float64", is_preconditioner=False,
+                 max_levels=3,
+                 smoother=SmootherConfig(type="chebyshev", degree=2),
+                 agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2))
+    hier = Hierarchy(prob, cfg)
+    assert len(hier.levels) == 3
+    rng = np.random.default_rng(1)
+    b = rng.uniform(size=prob.n_dofs)
+    b[prob.constrained] = 0.0
+    x0 = rng.uniform(size=prob.n_dofs)
+    x0[prob.constrained] = 0.0
+    ref = np.asarray(ref_vcycle(hier.levels, jnp.asarray(b), jnp.asarray(x0),
+                                n_smoothing_steps=1, is_preconditioner=False))
+    sv = build_spmd_vcycle(hier, n_devices=n_devices)
+    out = sv.from_grid(sv.fn(sv.to_grid(b), sv.to_grid(x0)))
+    np.testing.assert_allclose(out, ref, atol=1e-12 * np.abs(ref).max())
