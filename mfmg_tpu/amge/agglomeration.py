@@ -24,7 +24,11 @@ def build_agglomerates(mesh: Mesh, agg_cfg) -> np.ndarray:
     """Returns (n_cells,) agglomerate ids in [0, n_agg)."""
     if agg_cfg.partitioner == "block":
         return build_agglomerates_block(mesh, agg_cfg.block_dims(mesh.dim))
-    if agg_cfg.partitioner in ("metis", "zoltan", "rcb"):
+    if agg_cfg.partitioner == "metis":
+        # true multilevel KL/FM graph partitioning (METIS's scheme)
+        from mfmg_tpu.amge.graph_partition import build_agglomerates_multilevel
+        return build_agglomerates_multilevel(mesh, agg_cfg.n_agglomerates)
+    if agg_cfg.partitioner in ("zoltan", "rcb"):
         return build_agglomerates_rcb(mesh, agg_cfg.n_agglomerates)
     raise ValueError(f"unknown partitioner {agg_cfg.partitioner!r}")
 

@@ -49,7 +49,10 @@ def main():
     def two_point(fn, n_elems, label):
         @partial(jax.jit, static_argnames=("n",))
         def loop(levels, x, n):
-            return jax.lax.fori_loop(0, n, lambda i, v: fn(levels, v), x)
+            def body(i, v):
+                v = fn(levels, v)
+                return v * jax.lax.rsqrt(jnp.vdot(v, v).real + 1e-30)
+            return jax.lax.fori_loop(0, n, body, x)
 
         def timed(n):
             v = fresh(n_elems)
@@ -63,7 +66,7 @@ def main():
             t_lo, t_hi = timed(5), timed(50)
             if 0 < t_lo < t_hi:
                 dt = (t_hi - t_lo) / 45
-                log(f"{label::<40} {dt*1e3:8.4f} ms")
+                log(f"{label:<28} {dt*1e3:8.4f} ms")
                 return dt
         log(f"{label}: TIMING FAILED")
         return float("nan")
@@ -74,22 +77,22 @@ def main():
     nc = levels[-1].op.shape[0]
 
     # fine pieces
-    two_point(lambda L, v: L[0].op @ v / 27.0, n0, "L0 stencil apply")
+    two_point(lambda L, v: L[0].op @ v, n0, "L0 stencil apply")
     two_point(lambda L, v: L[0].smoother.apply(L[0].op, jnp.zeros_like(v), v),
               n0, "L0 chebyshev(2) smooth")
-    two_point(lambda L, v: L[0].transfer.prolong(L[0].transfer.restrict(v)) / 27.0,
+    two_point(lambda L, v: L[0].transfer.prolong(L[0].transfer.restrict(v)),
               n0, "L0 restrict+prolong")
     if len(levels) > 2:
-        two_point(lambda L, v: L[1].op @ v / 27.0, n1, "L1 block-stencil apply")
+        two_point(lambda L, v: L[1].op @ v, n1, "L1 block-stencil apply")
         two_point(lambda L, v: L[1].smoother.apply(L[1].op, jnp.zeros_like(v), v),
                   n1, "L1 chebyshev(2) smooth")
-        two_point(lambda L, v: L[1].transfer.prolong(L[1].transfer.restrict(v)) / 27.0,
+        two_point(lambda L, v: L[1].transfer.prolong(L[1].transfer.restrict(v)),
                   n1, "L1 restrict+prolong")
-    two_point(lambda L, v: L[-1].coarse.apply(v) / 27.0, nc, "coarse direct")
+    two_point(lambda L, v: L[-1].coarse.apply(v), nc, "coarse direct")
 
     from mfmg_tpu.amge.hierarchy import _vcycle
     nss = cfg.smoother.n_smoothing_steps
-    two_point(lambda L, v: _vcycle(L, jnp.zeros_like(v), v, 0, nss, False) / 1.01,
+    two_point(lambda L, v: _vcycle(L, jnp.zeros_like(v), v, 0, nss, False),
               n0, "full V-cycle")
 
 

@@ -15,6 +15,8 @@ from mfmg_tpu.amge.restriction import build_restriction, check_restriction
 from mfmg_tpu.config import AgglomerationConfig, EigensolverConfig
 from mfmg_tpu.eigen.batched_eigh import batched_smallest_eigenpairs
 from mfmg_tpu.fem.laplace import LaplaceProblem
+from mfmg_tpu import Config, Hierarchy
+from mfmg_tpu.config import SmootherConfig
 
 
 def test_block_agglomeration_structure():
@@ -116,3 +118,23 @@ def test_agglomerate_batch_padding():
     assert np.all(np.isfinite(evals))
     # padding rows carry zero eigenvector mass
     assert np.max(np.abs(evecs[~batch.valid])) == 0.0
+
+
+def test_metis_multilevel_partitioner():
+    """True multilevel KL/FM partitioner (partitioner='metis'): balanced
+    parts and a coarse space at least as good as the reference's Zoltan
+    golden (test_hierarchy.cc:438, rate 0.836618927 with 4 agglomerates)."""
+    from mfmg_tpu.amge.agglomeration import build_agglomerates
+    from mfmg_tpu.amge.hierarchy import measure_vcycle_rate
+
+    prob = LaplaceProblem.hyper_cube(2, 5)
+    cfg = Config(is_preconditioner=False,
+                 smoother=SmootherConfig(type="chebyshev", degree=2),
+                 agglomeration=AgglomerationConfig(partitioner="metis",
+                                                   n_agglomerates=4))
+    ids = build_agglomerates(prob.mesh, cfg.agglomeration)
+    sizes = np.bincount(ids)
+    assert len(sizes) == 4
+    assert sizes.min() > 0.6 * sizes.mean(), sizes
+    rate = measure_vcycle_rate(Hierarchy(prob, cfg), 20, seed=0)
+    assert rate <= 0.836618927 + 1e-3, rate
