@@ -33,17 +33,68 @@ class GeometryFactors:
     qpoints_phys: np.ndarray
 
 
+def _det_inv_small(J: np.ndarray):
+    """Closed-form det + inverse for batched 1x1/2x2/3x3 Jacobians.
+
+    np.linalg.det/inv dispatch each tiny matrix through LAPACK LU — measured
+    ~50 s for the 2M Jacobians of a 262k-cell Q1 3D mesh; the adjugate
+    formulas are pure vectorized arithmetic (~1 s)."""
+    d = J.shape[-1]
+    if d == 1:
+        det = J[..., 0, 0]
+        inv = 1.0 / J
+        return det, inv
+    if d == 2:
+        a, b = J[..., 0, 0], J[..., 0, 1]
+        c, e = J[..., 1, 0], J[..., 1, 1]
+        det = a * e - b * c
+        inv = np.empty_like(J)
+        inv[..., 0, 0] = e
+        inv[..., 0, 1] = -b
+        inv[..., 1, 0] = -c
+        inv[..., 1, 1] = a
+        inv /= det[..., None, None]
+        return det, inv
+    if d == 3:
+        # contiguous component planes (strided J[...,i,j] views make every
+        # elementwise op below ~4x slower)
+        f = np.ascontiguousarray(J.reshape(-1, 9)).T
+        m00, m01, m02, m10, m11, m12, m20, m21, m22 = f
+        c00 = m11 * m22 - m12 * m21
+        c01 = m12 * m20 - m10 * m22
+        c02 = m10 * m21 - m11 * m20
+        det = m00 * c00 + m01 * c01 + m02 * c02
+        inv = np.empty((J.size // 9, 9), dtype=J.dtype)
+        inv[:, 0] = c00
+        inv[:, 3] = c01
+        inv[:, 6] = c02
+        inv[:, 1] = m02 * m21 - m01 * m22
+        inv[:, 4] = m00 * m22 - m02 * m20
+        inv[:, 7] = m01 * m20 - m00 * m21
+        inv[:, 2] = m01 * m12 - m02 * m11
+        inv[:, 5] = m02 * m10 - m00 * m12
+        inv[:, 8] = m00 * m11 - m01 * m10
+        inv /= det[:, None]
+        return det.reshape(J.shape[:-2]), inv.reshape(J.shape)
+    det = np.linalg.det(J)
+    return det, np.linalg.inv(J)
+
+
 def compute_geometry(mesh: Mesh) -> GeometryFactors:
     ref = reference_element(mesh.dim, mesh.degree)
+    dim = mesh.dim
+    n_q = ref.D.shape[0]
     xe = mesh.nodes[mesh.cells]                  # (n_cells, n_loc, dim)
     # Jacobian J[c,q,a,b] = d x_a / d xhat_b = sum_i xe[c,i,a] * D[q,b,i]
-    J = np.einsum("cia,qbi->cqab", xe, ref.D)
-    detJ = np.linalg.det(J)
+    # (as one batched matmul — np.einsum is ~2x slower on this contraction)
+    D2 = ref.D.reshape(-1, ref.D.shape[-1])      # (q*b, i)
+    J = (xe.transpose(0, 2, 1) @ D2.T).reshape(
+        len(xe), dim, n_q, dim).transpose(0, 2, 1, 3)
+    detJ, Jinv = _det_inv_small(J)               # (c,q,a,b) = d xhat_a / d x_b
     if np.any(detJ <= 0):
         raise ValueError("mesh contains inverted/degenerate cells (det J <= 0)")
-    Jinv = np.linalg.inv(J)                      # (c,q,a,b) = d xhat_a / d x_b
     # physical gradient: dphi/dx_d = sum_b Jinv[c,q,b,d] * D[q,b,i]
-    G = np.einsum("cqbd,qbi->cqdi", Jinv, ref.D)
+    G = np.swapaxes(Jinv, 2, 3) @ ref.D[None]    # broadcast batched matmul
     JxW = ref.qweights[None, :] * detJ
     qpoints_phys = np.einsum("cia,qi->cqa", xe, ref.N)
     return GeometryFactors(G=G, JxW=JxW, qpoints_phys=qpoints_phys)
