@@ -106,15 +106,26 @@ def main():
         return time.perf_counter() - t0
 
     N_LO, N_HI = 5, N_CYCLES
+
+    def _two_point(timed_fn, n_samples=5):
+        """Median of per-attempt (T(N_HI)-T(N_LO))/(N_HI-N_LO) slopes.
+
+        A single positive difference can be pure dispatch jitter (observed:
+        0.001 ms "SpMV" on the tunneled runtime); the median over several
+        attempts is robust to both signs of that noise."""
+        slopes = []
+        for _attempt in range(2 * n_samples):
+            t_lo, t_hi = timed_fn(N_LO), timed_fn(N_HI)
+            if 0 < t_lo < t_hi:
+                slopes.append((t_hi - t_lo) / (N_HI - N_LO))
+            if len(slopes) >= n_samples:
+                break
+        assert slopes, "could not obtain a consistent timing"
+        return float(np.median(slopes)), t_lo, t_hi
+
     # warmup-compile both trip counts
     _timed(N_LO), _timed(N_HI)
-    dt = None
-    for _attempt in range(5):
-        t_lo, t_hi = _timed(N_LO), _timed(N_HI)
-        if 0 < t_lo < t_hi:
-            dt = (t_hi - t_lo) / (N_HI - N_LO)
-            break
-    assert dt is not None, "could not obtain a consistent timing"
+    dt, t_lo, t_hi = _two_point(_timed)
     dof_s = prob.n_dofs / dt
     log(f"vcycle: {dt*1e3:.3f} ms/cycle -> {dof_s:.3e} DoF/s "
         f"(t_lo={t_lo*1e3:.1f}ms t_hi={t_hi*1e3:.1f}ms)")
@@ -135,13 +146,7 @@ def main():
         return time.perf_counter() - t0
 
     _timed_s(N_LO), _timed_s(N_HI)
-    spmv_dt = None
-    for _attempt in range(5):
-        t_lo, t_hi = _timed_s(N_LO), _timed_s(N_HI)
-        if 0 < t_lo < t_hi:
-            spmv_dt = (t_hi - t_lo) / (N_HI - N_LO)
-            break
-    assert spmv_dt is not None
+    spmv_dt, t_lo, t_hi = _two_point(_timed_s)
     nnz_s = prob.A.nnz / spmv_dt
     log(f"spmv: {spmv_dt*1e3:.3f} ms -> {nnz_s:.3e} nnz/s")
 

@@ -19,6 +19,8 @@ the dynamic range small enough for float32 device eigensolves.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from mfmg_tpu.amge.local_problems import AgglomerateBatch
@@ -81,12 +83,27 @@ def batched_smallest_eigenpairs(batch: AgglomerateBatch, n_ev: int,
             dview[batch.constrained] = CONSTRAINED_DIAG
         evals = np.zeros((n_agg, n_ev))
         evecs = np.zeros((n_agg, m_max, n_ev))
-        for i in range(n_agg):
-            sz = int(batch.sizes[i])
-            w, v = sla.eigh(Mh[i, :sz, :sz], subset_by_index=[0, n_ev - 1],
-                            driver="evx", check_finite=False)
-            evals[i] = w.astype(np.float64) - shifts[i]
-            evecs[i, :sz] = v.astype(np.float64)
+
+        def _solve_range(lo, hi):
+            # LAPACK releases the GIL, so threads scale on the host cores.
+            for i in range(lo, hi):
+                sz = int(batch.sizes[i])
+                w, v = sla.eigh(Mh[i, :sz, :sz], subset_by_index=[0, n_ev - 1],
+                                driver="evx", check_finite=False)
+                evals[i] = w.astype(np.float64) - shifts[i]
+                evecs[i, :sz] = v.astype(np.float64)
+
+        n_workers = min(os.cpu_count() or 1, 8)
+        if n_workers > 1 and n_agg >= 4 * n_workers:
+            from concurrent.futures import ThreadPoolExecutor
+            bounds = np.linspace(0, n_agg, n_workers + 1).astype(int)
+            with ThreadPoolExecutor(n_workers) as pool:
+                futs = [pool.submit(_solve_range, bounds[k], bounds[k + 1])
+                        for k in range(n_workers)]
+                for f in futs:
+                    f.result()
+        else:
+            _solve_range(0, n_agg)
         evecs = evecs * batch.valid[:, :, None]
         return evals, evecs
 

@@ -33,7 +33,8 @@ def _load():
         if (not os.path.exists(_SO)
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO],
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+                 _SRC, "-o", _SO],
                 check=True, capture_output=True, timeout=120)
         lib = ctypes.CDLL(_SO)
         i64 = ctypes.POINTER(ctypes.c_int64)

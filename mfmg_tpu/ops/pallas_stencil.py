@@ -82,7 +82,7 @@ def pallas_stencil_apply(coeffs, x, offsets, grid_shape):
     y = pl.pallas_call(
         kernel,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # coeffs stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),         # coeffs stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),     # x resident
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),

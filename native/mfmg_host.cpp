@@ -12,6 +12,32 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// Agglomerates are independent (disjoint output blocks), so the batch splits
+// across host threads with no synchronization — the TPU-native analog of the
+// reference's WorkStream threading over agglomerates
+// (dealii/amge_host.templates.hpp:508-519).
+template <typename F>
+void parallel_ranges(int64_t n, F&& body)
+{
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = hw ? (int64_t)hw : 1;
+  if (n_threads > n) n_threads = n > 0 ? n : 1;
+  if (n_threads <= 1) { body((int64_t)0, n); return; }
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  for (int64_t t = 0; t < n_threads; ++t) {
+    int64_t lo = n * t / n_threads, hi = n * (t + 1) / n_threads;
+    pool.emplace_back([&body, lo, hi] { body(lo, hi); });
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -27,19 +53,21 @@ void assemble_agglomerate_batch_uniform(
     int64_t n_agg, int64_t n_bc, int64_t n_loc, int64_t m)
 {
   const int64_t nl2 = n_loc * n_loc;
-  for (int64_t g = 0; g < n_agg; ++g) {
-    double* Ag = A_agg + g * m * m;
-    for (int64_t c = 0; c < n_bc; ++c) {
-      const double* Ac = A_loc + cells_per_agg[g * n_bc + c] * nl2;
-      const int64_t* lc = local_cells + c * n_loc;
-      for (int64_t i = 0; i < n_loc; ++i) {
-        double* row = Ag + lc[i] * m;
-        const double* src = Ac + i * n_loc;
-        for (int64_t j = 0; j < n_loc; ++j)
-          row[lc[j]] += src[j];
+  parallel_ranges(n_agg, [=](int64_t g_lo, int64_t g_hi) {
+    for (int64_t g = g_lo; g < g_hi; ++g) {
+      double* Ag = A_agg + g * m * m;
+      for (int64_t c = 0; c < n_bc; ++c) {
+        const double* Ac = A_loc + cells_per_agg[g * n_bc + c] * nl2;
+        const int64_t* lc = local_cells + c * n_loc;
+        for (int64_t i = 0; i < n_loc; ++i) {
+          double* row = Ag + lc[i] * m;
+          const double* src = Ac + i * n_loc;
+          for (int64_t j = 0; j < n_loc; ++j)
+            row[lc[j]] += src[j];
+        }
       }
     }
-  }
+  });
 }
 
 // Generic per-patch dense assembly (ragged agglomerates / fast_ap patches):
