@@ -129,6 +129,8 @@ class Hierarchy:
 
         if cfg.operator == "matrix_free":
             fine_op = problem.matrix_free_operator(dtype=self.dtype)
+        elif cfg.operator == "sumfac":
+            fine_op = problem.matrix_free_operator(dtype=self.dtype, mode="sumfac")
         elif cfg.operator == "stencil":
             from mfmg_tpu.ops.stencil import stencil_from_csr
             fine_op = stencil_from_csr(problem.A, problem.mesh, dtype=self.dtype)
@@ -247,7 +249,8 @@ class Hierarchy:
         # Follow the reference's per-path convention: matrix-free evaluators
         # see constrained dofs as identity rows (deal.II MatrixFree); the
         # assembled host path shifts + pins them to 200.
-        return "identity" if self.config.operator == "matrix_free" else "pin"
+        return ("identity" if self.config.operator in ("matrix_free", "sumfac")
+                else "pin")
 
     def _eigensolve(self, batch):
         cfg = self.config.eigensolver

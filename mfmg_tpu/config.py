@@ -131,8 +131,9 @@ class Config:
     coarse: CoarseConfig = dataclasses.field(default_factory=CoarseConfig)
     agglomeration: AgglomerationConfig = dataclasses.field(default_factory=AgglomerationConfig)
     # Operator representation for the fine level: "ell" (assembled sparse,
-    # analog of the reference's matrix path) or "matrix_free" (cell-local
-    # apply, analog of DealIIMatrixFreeOperator).
+    # analog of the reference's matrix path), "matrix_free" (cell-local
+    # apply, analog of DealIIMatrixFreeOperator), "sumfac" (sum-factorized
+    # high-order matrix-free), or "stencil" (structured-grid fast path).
     operator: str = "ell"
     # Device compute dtype for the apply path ("float32"/"float64"/"bfloat16").
     # Setup always runs in float64 on host.

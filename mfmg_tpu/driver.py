@@ -24,7 +24,7 @@ def main(argv=None):
     p.add_argument("-m", "--matrix-free", action="store_true",
                    help="use the matrix-free operator path")
     p.add_argument("--operator", default=None,
-                   help="operator representation: ell | stencil | matrix_free")
+                   help="operator representation: ell | stencil | matrix_free | sumfac")
     p.add_argument("-t", "--tolerance", type=float, default=1e-6)
     p.add_argument("--solve", action="store_true",
                    help="CG-preconditioner mode (default: 20 V-cycles + rate)")

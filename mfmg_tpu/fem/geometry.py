@@ -100,6 +100,30 @@ def compute_geometry(mesh: Mesh) -> GeometryFactors:
     return GeometryFactors(G=G, JxW=JxW, qpoints_phys=qpoints_phys)
 
 
+def compute_metric(mesh: Mesh, coeff_at_q: np.ndarray) -> np.ndarray:
+    """Per-quadrature-point metric tensor for the sum-factorized apply.
+
+    K[c,q,a,b] = JxW[c,q] * coeff[c,q] * (J^{-1} J^{-T})[a,b], so the weak form
+    contribution is t_i . K . t_j with t the REFERENCE-space gradients — all
+    physical-mapping information collapses into one dim x dim symmetric tensor
+    per (cell, q) instead of the (n_q, dim, n_loc) physical gradient table.
+    This is deal.II MatrixFree's "MappingInfo" compression, the piece that
+    makes sum factorization pay off at high order.
+    Returns (n_cells, n_q, dim, dim) float64.
+    """
+    ref = reference_element(mesh.dim, mesh.degree)
+    dim = mesh.dim
+    n_q = ref.D.shape[0]
+    xe = mesh.nodes[mesh.cells]
+    D2 = ref.D.reshape(-1, ref.D.shape[-1])
+    J = (xe.transpose(0, 2, 1) @ D2.T).reshape(
+        len(xe), dim, n_q, dim).transpose(0, 2, 1, 3)
+    detJ, Jinv = _det_inv_small(J)
+    s = ref.qweights[None, :] * detJ * coeff_at_q          # (c, q)
+    K = np.einsum("cqad,cqbd->cqab", Jinv, Jinv, optimize=True)
+    return K * s[:, :, None, None]
+
+
 def local_stiffness_matrices(mesh: Mesh, geom: GeometryFactors,
                              coeff_at_q: np.ndarray) -> np.ndarray:
     """Batched variable-coefficient Laplace cell matrices.

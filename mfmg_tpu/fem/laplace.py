@@ -100,6 +100,10 @@ class LaplaceProblem:
                 G=jnp.asarray(self.geom.G, dtype=dtype),
                 scale=jnp.asarray(self.geom.JxW * self.coeff_at_q, dtype=dtype),
             )
+        elif mode == "sumfac":
+            from mfmg_tpu.ops.sumfac import build_sumfac_operator
+            return build_sumfac_operator(self.mesh, self.coeff_at_q,
+                                         self.diag_raw, self.A_loc, dtype=dtype)
         raise ValueError(f"unknown matrix-free mode {mode!r}")
 
     # -- rhs / error -------------------------------------------------------

@@ -86,6 +86,9 @@ class ReferenceElement:
 
         self.n_loc_1d = k + 1
         self.n_q_1d = nq1
+        # 1D value/derivative tables (nq1, k+1) — the sum-factorization factors
+        self.v1d = v1
+        self.g1d = g1
 
         # Tensor products, x fastest for both q and local indices.
         axes_q = [q1] * dim

@@ -23,6 +23,9 @@ def operator_diagonal(op):
 
     if isinstance(op, MatrixFreeOperator):
         return mf_diagonal(op)
+    from mfmg_tpu.ops.sumfac import SumFactoredOperator
+    if isinstance(op, SumFactoredOperator):
+        return op.op_diag
     if isinstance(op, ELLMatrix):
         n = op.shape[0]
         rows = jnp.arange(n)[:, None]

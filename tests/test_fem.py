@@ -103,3 +103,61 @@ def test_distorted_mesh_still_valid():
     # symmetry of assembled matrix
     diff = (prob.A - prob.A.T)
     assert abs(diff).max() < 1e-12
+
+
+@pytest.mark.parametrize("dim,degree", [(2, 1), (2, 2), (2, 3), (3, 1), (3, 2)])
+def test_sumfac_equals_assembled(dim, degree):
+    """Sum-factorized apply == assembled SpMV (oracle: the reference's MF ==
+    matrix equivalence, tests/test_hierarchy.cc:647-695, at 1e-9)."""
+    # distortion exercises the full (non-diagonal) metric; Q3's closely
+    # spaced GLL nodes invert under the reference's 0.25*h random distortion,
+    # so the highest degree runs undistorted
+    prob = LaplaceProblem.hyper_cube(dim, 2, degree=degree,
+                                     material_property="linear",
+                                     distort_random=(degree < 3))
+    op = prob.matrix_free_operator(mode="sumfac")
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(prob.n_dofs)
+    y_mf = np.asarray(op @ jnp.asarray(x))
+    # assembled reference: Dirichlet-eliminated matrix acts as identity*diag
+    # on constrained dofs (ops.sparse.eliminate_dirichlet convention)
+    y_sp = prob.A @ x
+    np.testing.assert_allclose(y_mf, y_sp, rtol=0, atol=1e-9 * np.abs(y_sp).max())
+    # diagonal matches assembled diagonal
+    from mfmg_tpu.solve.operator import operator_diagonal
+    d = np.asarray(operator_diagonal(op))
+    np.testing.assert_allclose(d, prob.A.diagonal(), atol=1e-9)
+
+
+def test_sumfac_hierarchy_golden_rate():
+    """Q1 hierarchy with the sumfac operator reproduces the matrix-free
+    chebyshev golden rate (test_hierarchy.cc:353: 0.0880045475)."""
+    from mfmg_tpu import Config, Hierarchy
+    from mfmg_tpu.amge.hierarchy import measure_vcycle_rate
+    from mfmg_tpu.config import AgglomerationConfig, SmootherConfig
+
+    prob = LaplaceProblem.hyper_cube(3, 2, material_property="constant")
+    cfg = Config(operator="sumfac",
+                 smoother=SmootherConfig(type="chebyshev", degree=1),
+                 agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2))
+    h = Hierarchy(prob, cfg)
+    rate = measure_vcycle_rate(h, n_cycles=20, seed=0)
+    assert abs(rate - 0.0880045475) < 1e-2
+
+
+def test_sumfac_high_order_hierarchy_converges():
+    """Q3 2D sumfac-operator hierarchy: PCG converges fast (driver parity for
+    fe_degree>1, hierarchy_driver.cc:216-283)."""
+    from mfmg_tpu import Config, Hierarchy
+    from mfmg_tpu.config import AgglomerationConfig, SmootherConfig
+
+    prob = LaplaceProblem.hyper_cube(2, 3, degree=3, material_property="linear")
+    cfg = Config(operator="sumfac",
+                 smoother=SmootherConfig(type="chebyshev", degree=3),
+                 agglomeration=AgglomerationConfig(nx=2, ny=2))
+    h = Hierarchy(prob, cfg)
+    b = np.random.default_rng(0).uniform(size=prob.n_dofs)
+    b[prob.constrained] = 0.0
+    x, info = h.solve_cg(b, tol=1e-8, maxiter=60)
+    assert int(info["iterations"]) <= 25
+    assert float(info["relres"]) < 1e-8
