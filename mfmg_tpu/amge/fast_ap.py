@@ -14,8 +14,16 @@ neighbor outside), and A_halo from the one-ring of outside cells touching the
 agglomerate.
 
 Where the reference runs a WorkStream thread loop with one patch matvec at a
-time, here all boundary-layer patches (and then all halo patches) form padded
-dense batches and the corrections are two batched matvecs on the MXU.
+time, here the patch operators are never materialized at all: the patch
+matvec decomposes cell-by-cell (assembly is additive), so both corrections
+become ONE batched (n_pairs, n_loc, n_loc) x (n_pairs, n_loc, n_ev) einsum
+over all (agglomerate, cell) pairs followed by one COO scatter — no Python
+loops, no per-agglomerate dense patches.  Patch Dirichlet elimination
+(zero constrained rows/cols, patch diagonal kept at constrained dofs)
+telescopes through the decomposition: zero the source at constrained dofs
+before the cell matvec, and replace constrained output rows by
+(local diagonal)·(raw source), whose sum over patch cells is exactly
+(patch diagonal)·source.
 """
 
 from __future__ import annotations
@@ -41,80 +49,57 @@ def cell_adjacency(mesh: Mesh):
     return adj
 
 
+def boundary_halo_pairs(mesh: Mesh, agg_ids: np.ndarray):
+    """All (agglomerate, cell) pairs of the fast-AP correction patches.
+
+    bl: cells inside g with at least one vertex-neighbor outside g
+        (the reference's boundary agglomerate, amge.templates.hpp:116-148);
+    hl: the one-ring of outside cells vertex-touching g.
+    Returned as two (P, 2) int arrays of unique (g, cell) pairs.
+    """
+    adj = cell_adjacency(mesh).tocoo()
+    r, c = adj.row, adj.col
+    cross = agg_ids[r] != agg_ids[c]
+    r, c = r[cross], c[cross]
+    n_cells = mesh.n_cells
+    bl = np.unique(agg_ids[r].astype(np.int64) * n_cells + r)
+    hl = np.unique(agg_ids[r].astype(np.int64) * n_cells + c)
+    bl = np.stack([bl // n_cells, bl % n_cells], axis=1)
+    hl = np.stack([hl // n_cells, hl % n_cells], axis=1)
+    return bl, hl
+
+
 def boundary_and_halo_patches(mesh: Mesh, agg_ids: np.ndarray):
-    """Per agglomerate: (boundary-layer cells, halo cells)
-    (amge.templates.hpp:116-148)."""
-    adj = cell_adjacency(mesh)
+    """Per agglomerate: (boundary-layer cells, halo cells) as lists of cell-id
+    arrays (amge.templates.hpp:116-148)."""
+    bl, hl = boundary_halo_pairs(mesh, agg_ids)
     n_agg = int(agg_ids.max()) + 1
-    interior, halo = [], []
-    for g in range(n_agg):
-        cells_g = np.nonzero(agg_ids == g)[0]
-        in_g = np.zeros(mesh.n_cells, dtype=bool)
-        in_g[cells_g] = True
-        layer, halo_set = [], set()
-        for c in cells_g:
-            nbrs = adj.indices[adj.indptr[c]: adj.indptr[c + 1]]
-            outside = nbrs[~in_g[nbrs]]
-            if len(outside):
-                layer.append(c)
-                halo_set.update(outside.tolist())
-        interior.append(np.array(layer, dtype=np.int64))
-        halo.append(np.array(sorted(halo_set), dtype=np.int64))
-    return interior, halo
+
+    def split(pairs):
+        out = [np.empty(0, dtype=np.int64)] * n_agg
+        if len(pairs):
+            counts = np.bincount(pairs[:, 0], minlength=n_agg)
+            offs = np.concatenate([[0], np.cumsum(counts)])
+            for g in range(n_agg):
+                out[g] = pairs[offs[g]: offs[g + 1], 1]
+        return out
+
+    return split(bl), split(hl)
 
 
-def build_patch_batch(mesh: Mesh, A_loc: np.ndarray, cell_lists) -> AgglomerateBatch:
-    """Padded dense batch of patch operators for explicit (possibly
-    overlapping) cell lists — the generalization of build_agglomerate_batch
-    used for the fast-AP boundary/halo patches."""
-    n_patch = len(cell_lists)
-    n_loc = mesh.n_loc
-    dof_maps, local_cells, sizes = [], [], np.zeros(n_patch, dtype=np.int64)
-    for p, cs in enumerate(cell_lists):
-        if len(cs) == 0:
-            dof_maps.append(np.empty(0, dtype=np.int64))
-            local_cells.append(np.empty((0, n_loc), dtype=np.int64))
-            continue
-        dofs = mesh.cells[cs]
-        uniq, inv = np.unique(dofs, return_inverse=True)
-        dof_maps.append(uniq)
-        sizes[p] = len(uniq)
-        local_cells.append(inv.reshape(dofs.shape))
-
-    m_max = int(max(sizes.max(), 1))
-    dof_map = -np.ones((n_patch, m_max), dtype=np.int64)
-    valid = np.zeros((n_patch, m_max), dtype=bool)
-    A_agg = np.zeros((n_patch, m_max, m_max))
-    for p, cs in enumerate(cell_lists):
-        m = sizes[p]
-        if m == 0:
-            continue
-        dof_map[p, :m] = dof_maps[p]
-        valid[p, :m] = True
-        li = local_cells[p]
-        rows = np.broadcast_to(li[:, :, None], (len(cs), n_loc, n_loc))
-        cols = np.broadcast_to(li[:, None, :], (len(cs), n_loc, n_loc))
-        np.add.at(A_agg[p], (rows.reshape(-1), cols.reshape(-1)), A_loc[np.asarray(cs)].reshape(-1))
-
-    diag = np.einsum("gii->gi", A_agg).copy()
-    constrained = np.zeros((n_patch, m_max), dtype=bool)
-    constrained[valid] = mesh.boundary_dofs[dof_map[valid]]
-    keep = ~constrained
-    A_agg *= keep[:, :, None] * keep[:, None, :]
-    gi, ii = np.nonzero(constrained)
-    A_agg[gi, ii, ii] = diag[gi, ii]
-    gi, ii = np.nonzero(~valid)
-    A_agg[gi, ii, ii] = 1.0
-    return AgglomerateBatch(dof_map=dof_map, valid=valid, A_agg=A_agg,
-                            diag=diag, constrained=constrained, sizes=sizes)
+def _agg_dof_slots(batch: AgglomerateBatch, n_dofs: int):
+    """Sorted (agg, dof) key array + the agg-local slot of each key, for
+    vectorized (g, global dof) -> agglomerate-local index lookups."""
+    gi, ii = np.nonzero(batch.valid)
+    keys = gi.astype(np.int64) * n_dofs + batch.dof_map[gi, ii]
+    order = np.argsort(keys)
+    return keys[order], ii[order]
 
 
 def fast_multiply_transpose(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray,
                             batch: AgglomerateBatch, evals: np.ndarray,
                             evecs: np.ndarray, global_diag: np.ndarray) -> sp.csr_matrix:
     """Assemble AP = A·Rᵀ (shape n_dofs x n_coarse) without global SpGEMM."""
-    import jax.numpy as jnp
-
     n_agg, m_max, n_ev = evecs.shape
     n_dofs = mesh.n_nodes
     w = np.where(batch.valid,
@@ -123,40 +108,41 @@ def fast_multiply_transpose(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray,
     delta = (w[:, :, None] - 1.0) * evecs          # Δe on agg-local layout
     full = delta + evecs                           # Δe + e
 
-    # term 1: Λ·E (agg-local)
     rows_out, cols_out, vals_out = [], [], []
+    kk = np.arange(n_ev)
+
+    # term 1: Λ·E (agg-local)
     gi, ii = np.nonzero(batch.valid)
-    for k in range(n_ev):
-        rows_out.append(batch.dof_map[gi, ii])
-        cols_out.append(gi * n_ev + k)
-        vals_out.append(evals[gi, k] * evecs[gi, ii, k])
+    rows_out.append(np.broadcast_to(batch.dof_map[gi, ii][:, None],
+                                    (len(gi), n_ev)).ravel())
+    cols_out.append((gi[:, None] * n_ev + kk[None]).ravel())
+    vals_out.append((evals[gi] * evecs[gi, ii]).ravel())
 
-    interior, halo = boundary_and_halo_patches(mesh, agg_ids)
-    # map global dof values of (Δe or Δe+e) onto each patch's local layout
-    # via a dense per-agg lookup: dof -> agg-local index
-    dof_to_local = {}
-    for g in range(n_agg):
-        for i in range(batch.sizes[g]):
-            dof_to_local[(g, batch.dof_map[g, i])] = i
+    skeys, slots = _agg_dof_slots(batch, n_dofs)
+    bl, hl = boundary_halo_pairs(mesh, agg_ids)
+    con = mesh.boundary_dofs
 
-    for cell_lists, vec_src in ((interior, delta), (halo, full)):
-        pb = build_patch_batch(mesh, A_loc, cell_lists)
-        n_patch, pm = pb.dof_map.shape
-        # patch-local copies of the source vectors
-        src = np.zeros((n_patch, pm, n_ev))
-        for p in range(n_patch):
-            for j in range(pb.sizes[p]):
-                key = (p, pb.dof_map[p, j])
-                if key in dof_to_local:
-                    src[p, j, :] = vec_src[p, dof_to_local[key], :]
-        # batched patch matvec on device (MXU)
-        corr = np.asarray(jnp.einsum("pij,pjk->pik", jnp.asarray(pb.A_agg),
-                                     jnp.asarray(src)))
-        pi, jj = np.nonzero(pb.valid)
-        for k in range(n_ev):
-            rows_out.append(pb.dof_map[pi, jj])
-            cols_out.append(pi * n_ev + k)
-            vals_out.append(corr[pi, jj, k])
+    for pairs, src in ((bl, delta), (hl, full)):
+        if not len(pairs):
+            continue
+        g, c = pairs[:, 0], pairs[:, 1]
+        dofs = mesh.cells[c].astype(np.int64)      # (P, n_loc)
+        qk = g[:, None] * n_dofs + dofs
+        pos = np.minimum(np.searchsorted(skeys, qk), len(skeys) - 1)
+        found = skeys[pos] == qk                   # dof in agg g's local space?
+        v = np.where(found[:, :, None],
+                     src[g[:, None], np.where(found, slots[pos], 0)], 0.0)
+        cmask = con[dofs]
+        Ak = A_loc[c]                              # (P, n_loc, n_loc)
+        u = np.einsum("pab,pbk->pak",
+                      Ak, np.where(cmask[:, :, None], 0.0, v))
+        # patch Dirichlet rows: sum over patch cells of diag_loc*v = d_patch*v
+        dloc = np.einsum("paa->pa", Ak)
+        u = np.where(cmask[:, :, None], dloc[:, :, None] * v, u)
+        rows_out.append(np.broadcast_to(dofs[:, :, None], u.shape).ravel())
+        cols_out.append(np.broadcast_to((g[:, None] * n_ev + kk[None])[:, None, :],
+                                        u.shape).ravel())
+        vals_out.append(u.ravel())
 
     rows = np.concatenate(rows_out)
     cols = np.concatenate(cols_out)

@@ -26,11 +26,18 @@ class GeometryFactors:
         G[c,q,d,i] = d(phi_i)/d(x_d) at quadrature point q of cell c.
     JxW : (n_cells, n_q) quadrature weight times |det J|.
     qpoints_phys : (n_cells, n_q, dim) physical quadrature points.
+
+    When all cells are congruent by translation (undistorted structured
+    grids), G and JxW are zero-copy broadcast views of the single-cell
+    factors, also exposed as G_shared (n_q, dim, n_loc) / JxW_shared (n_q,)
+    so consumers can take O(n_q) contractions instead of O(n_cells * n_q).
     """
 
     G: np.ndarray
     JxW: np.ndarray
     qpoints_phys: np.ndarray
+    G_shared: np.ndarray = None          # (n_q, dim, n_loc) or None
+    JxW_shared: np.ndarray = None        # (n_q,) or None
 
 
 def _det_inv_small(J: np.ndarray):
@@ -80,11 +87,38 @@ def _det_inv_small(J: np.ndarray):
     return det, np.linalg.inv(J)
 
 
+def _translation_invariant(xe: np.ndarray) -> bool:
+    """All cells congruent by translation (shared Jacobian)?"""
+    if len(xe) < 2:
+        return True
+    rel = xe - xe[:, :1, :]
+    scale = max(np.abs(rel[0]).max(), 1e-300)
+    return bool(np.abs(rel - rel[0]).max() <= 1e-12 * scale)
+
+
 def compute_geometry(mesh: Mesh) -> GeometryFactors:
     ref = reference_element(mesh.dim, mesh.degree)
     dim = mesh.dim
     n_q = ref.D.shape[0]
     xe = mesh.nodes[mesh.cells]                  # (n_cells, n_loc, dim)
+    if _translation_invariant(xe):
+        # One Jacobian for every cell: compute single-cell factors and
+        # broadcast (O(n_q) work + zero-copy views instead of writing
+        # multi-GB (n_cells, n_q, dim, n_loc) tables).
+        J1 = np.einsum("ia,qbi->qab", xe[0], ref.D)
+        det1, Jinv1 = _det_inv_small(J1)
+        if np.any(det1 <= 0):
+            raise ValueError("mesh contains inverted/degenerate cells (det J <= 0)")
+        G1 = np.swapaxes(Jinv1, 1, 2) @ ref.D            # (q, dim, n_loc)
+        JxW1 = ref.qweights * det1
+        # qpoint = cell origin + fixed offset (sum_i N[q,i] = 1)
+        qoff = np.einsum("ia,qi->qa", xe[0] - xe[0, :1], ref.N)
+        qpoints_phys = xe[:, 0, None, :] + qoff[None]
+        n_cells = len(xe)
+        return GeometryFactors(
+            G=np.broadcast_to(G1, (n_cells,) + G1.shape),
+            JxW=np.broadcast_to(JxW1, (n_cells, n_q)),
+            qpoints_phys=qpoints_phys, G_shared=G1, JxW_shared=JxW1)
     # Jacobian J[c,q,a,b] = d x_a / d xhat_b = sum_i xe[c,i,a] * D[q,b,i]
     # (as one batched matmul — np.einsum is ~2x slower on this contraction)
     D2 = ref.D.reshape(-1, ref.D.shape[-1])      # (q*b, i)
@@ -115,6 +149,12 @@ def compute_metric(mesh: Mesh, coeff_at_q: np.ndarray) -> np.ndarray:
     dim = mesh.dim
     n_q = ref.D.shape[0]
     xe = mesh.nodes[mesh.cells]
+    if _translation_invariant(xe):
+        J1 = np.einsum("ia,qbi->qab", xe[0], ref.D)
+        det1, Jinv1 = _det_inv_small(J1)
+        K1 = np.einsum("qad,qbd->qab", Jinv1, Jinv1)
+        s = (ref.qweights * det1)[None, :] * coeff_at_q    # (c, q)
+        return s[:, :, None, None] * K1[None]
     D2 = ref.D.reshape(-1, ref.D.shape[-1])
     J = (xe.transpose(0, 2, 1) @ D2.T).reshape(
         len(xe), dim, n_q, dim).transpose(0, 2, 1, 3)
@@ -133,6 +173,13 @@ def local_stiffness_matrices(mesh: Mesh, geom: GeometryFactors,
     Returns (n_cells, n_loc, n_loc) float64.
     """
     s = geom.JxW * coeff_at_q                    # (c, q)
+    if geom.G_shared is not None:
+        # shared gradients: A_loc = s @ B with B[q] = G_q^T G_q — one tall
+        # matmul instead of a per-cell contraction over multi-GB tables
+        G1 = geom.G_shared
+        n_q, _, n_loc = G1.shape
+        B = np.einsum("qdi,qdj->qij", G1, G1).reshape(n_q, n_loc * n_loc)
+        return (s @ B).reshape(len(s), n_loc, n_loc)
     return np.einsum("cqdi,cq,cqdj->cij", geom.G, s, geom.G, optimize=True)
 
 
