@@ -233,10 +233,12 @@ class Hierarchy:
         # reference defaults to 2 levels and delegates deeper hierarchies to
         # ML/AMGX; here the same construction recurses, amge/multilevel.py).
         from mfmg_tpu.amge.multilevel import build_recursive_restriction
+        prev_batch = self._level0_eigendata[0] if level == 1 else None
         R_l, cell_super, super_grid = build_recursive_restriction(
             problem.mesh, problem.A_loc, self._cell_agg, self._R_composed,
             self._A_per_level[level], problem.constrained,
-            cfg.eigensolver.n_eigenvectors, cfg.agglomeration.block_dims(problem.mesh.dim))
+            cfg.eigensolver.n_eigenvectors, cfg.agglomeration.block_dims(problem.mesh.dim),
+            prev_batch=prev_batch)
         self._cell_agg = cell_super
         self._R_composed = (R_l @ self._R_composed).tocsr()
         self._super_grid_xyz = super_grid

