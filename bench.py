@@ -61,8 +61,9 @@ def main():
                  agglomeration=AgglomerationConfig(nx=4, ny=4, nz=4),
                  coarse=CoarseConfig(type="direct"))
     hier = Hierarchy(prob, cfg)
-    log(f"setup: n_dofs={prob.n_dofs} nnz={prob.A.nnz} "
-        f"t={time.perf_counter()-t0:.1f}s")
+    setup_s = time.perf_counter() - t0
+    nnz = hier._A_nnzs[0]       # stencil nonzeros; global A never assembled
+    log(f"setup: n_dofs={prob.n_dofs} nnz={nnz} t={setup_s:.1f}s")
 
     rng = np.random.default_rng(0)
     b = rng.uniform(size=prob.n_dofs).astype(np.float32)
@@ -147,7 +148,7 @@ def main():
 
     _timed_s(N_LO), _timed_s(N_HI)
     spmv_dt, t_lo, t_hi = _two_point(_timed_s)
-    nnz_s = prob.A.nnz / spmv_dt
+    nnz_s = nnz / spmv_dt
     log(f"spmv: {spmv_dt*1e3:.3f} ms -> {nnz_s:.3e} nnz/s")
 
     # solution sanity: preconditioned CG converges
@@ -180,6 +181,7 @@ def main():
                       "extra": {"spmv_nnz_per_s": nnz_s,
                                 "n_dofs": prob.n_dofs,
                                 "ms_per_vcycle": dt * 1e3,
+                                "setup_s": setup_s,
                                 "pcg_iterations": iters}}))
 
 

@@ -127,47 +127,77 @@ class Hierarchy:
         cfg = self.config
         problem = self.problem
 
+        # fast_ap "auto" (None): on for matrix-free-style operators — those
+        # paths then never assemble the global fine matrix (the reference's
+        # matrix-free hierarchy semantics, dealii_matrix_free_hierarchy_
+        # helpers.cc:55-303); the assembled ELL path keeps host SpGEMM.
+        mf_types = ("matrix_free", "sumfac", "stencil")
+        fast_ap = cfg.fast_ap
+        if fast_ap is None:
+            fast_ap = cfg.operator in mf_types
+        self._fast_ap = fast_ap
+        matrix_free_setup = fast_ap and cfg.operator in mf_types
+
         if cfg.operator == "matrix_free":
             fine_op = problem.matrix_free_operator(dtype=self.dtype)
         elif cfg.operator == "sumfac":
             fine_op = problem.matrix_free_operator(dtype=self.dtype, mode="sumfac")
         elif cfg.operator == "stencil":
-            from mfmg_tpu.ops.stencil import stencil_from_csr
-            fine_op = stencil_from_csr(problem.A, problem.mesh, dtype=self.dtype)
+            from mfmg_tpu.ops.stencil import stencil_from_cell_matrices
+            fine_op = stencil_from_cell_matrices(
+                problem.mesh, problem.A_loc, problem.constrained,
+                problem.diag_raw, dtype=self.dtype)
         else:
             fine_op = problem.ell_operator(dtype=self.dtype)
 
         num_levels = cfg.max_levels
-        A_scipy = problem.A             # assembled fine matrix (setup only)
-        self._A_per_level = [A_scipy]
+        # level-0 slot is None on the matrix-free setup path: global A is
+        # neither assembled nor needed (fast AP + cell-matrix eig estimate).
+        A_fine = None if matrix_free_setup else problem.A
+        self._A_per_level = [A_fine]
+        nnz_fine = (problem.A.nnz if A_fine is not None else
+                    self._op_nnz(fine_op))
+        self._A_shapes = [(problem.n_dofs, problem.n_dofs)]
+        self._A_nnzs = [nnz_fine]
 
         op = fine_op
         _mark("fine operator")
         for level in range(num_levels):
             if level == num_levels - 1:
-                coarse = build_coarse_solver(self._A_per_level[level], cfg.coarse, dtype=self.dtype)
-                _mark(f"coarse solver (n={self._A_per_level[level].shape[0]})")
+                A_c = self._A_per_level[level]
+                if A_c is None:
+                    A_c = problem.A          # max_levels==1 degenerate case
+                coarse = build_coarse_solver(A_c, cfg.coarse, dtype=self.dtype)
+                _mark(f"coarse solver (n={A_c.shape[0]})")
                 self.levels.append(LevelData(op=op, coarse=coarse))
                 break
             smoother = build_smoother(op, cfg.smoother, dtype=self.dtype,
-                                      A_scipy=self._A_per_level[level])
+                                      A_scipy=self._A_per_level[level],
+                                      problem=problem if level == 0 else None)
             _mark(f"smoother L{level}")
 
             R = self._build_restrictor(level)
             _mark(f"restrictor L{level}")
-            if cfg.fast_ap and level == 0:
-                # matrix-free AP construction (hierarchy.hpp:214-227): build
-                # A·Rᵀ from per-agglomerate pieces, then one tall-skinny
-                # SpGEMM for R·AP — the global fine matrix is never multiplied.
-                from mfmg_tpu.amge.fast_ap import fast_multiply_transpose
+            if fast_ap and level == 0:
+                # matrix-free Galerkin product (the role of fast AP,
+                # hierarchy.hpp:214-227): R·A·Rᵀ assembled from batched
+                # per-agglomerate dense blocks Rb_a A_agg_a Rb_aᵀ — neither
+                # the global fine matrix nor AP is ever materialized, and the
+                # same blocks are reused by the level-1 recursive restrictor.
+                from mfmg_tpu.amge.multilevel import (
+                    _dof_row_structure, agg_galerkin_blocks,
+                    galerkin_product_from_blocks)
                 batch, evals, evecs = self._level0_eigendata
-                AP = fast_multiply_transpose(problem.mesh, problem.A_loc,
-                                             self._level0_agg_ids, batch,
-                                             evals, evecs, problem.diag_raw)
-                A_coarse = (R @ AP).tocsr()
+                dof_rows, dof_vals = _dof_row_structure(R)
+                blocks = agg_galerkin_blocks(batch, dof_rows, dof_vals,
+                                             R.shape[0], eliminate=False)
+                A_coarse = galerkin_product_from_blocks(blocks, R.shape[0])
+                self._level0_blocks = blocks
             else:
                 A_coarse = (R @ self._A_per_level[level] @ R.T).tocsr()
             self._A_per_level.append(A_coarse)
+            self._A_shapes.append(A_coarse.shape)
+            self._A_nnzs.append(A_coarse.nnz)
             _mark(f"galerkin product L{level}")
 
             transfer = None
@@ -234,11 +264,12 @@ class Hierarchy:
         # ML/AMGX; here the same construction recurses, amge/multilevel.py).
         from mfmg_tpu.amge.multilevel import build_recursive_restriction
         prev_batch = self._level0_eigendata[0] if level == 1 else None
+        prev_blocks = getattr(self, "_level0_blocks", None) if level == 1 else None
         R_l, cell_super, super_grid = build_recursive_restriction(
             problem.mesh, problem.A_loc, self._cell_agg, self._R_composed,
             self._A_per_level[level], problem.constrained,
             cfg.eigensolver.n_eigenvectors, cfg.agglomeration.block_dims(problem.mesh.dim),
-            prev_batch=prev_batch)
+            prev_batch=prev_batch, prev_blocks=prev_blocks)
         self._cell_agg = cell_super
         self._R_composed = (R_l @ self._R_composed).tocsr()
         self._super_grid_xyz = super_grid
@@ -324,16 +355,28 @@ class Hierarchy:
         return load_hierarchy(path, problem)
 
     # ------------------------------------------------------------ metrics --
+    @staticmethod
+    def _op_nnz(op) -> int:
+        """Operator nonzero count without assembling anything global."""
+        from mfmg_tpu.ops.stencil import StencilOperator
+        if isinstance(op, StencilOperator):
+            return int(np.count_nonzero(np.asarray(op.coeffs)))
+        from mfmg_tpu.ops.sparse import ELLMatrix
+        if isinstance(op, ELLMatrix):
+            return int(np.count_nonzero(np.asarray(op.vals)))
+        # matrix-free: stencil-equivalent estimate (interior row length)
+        cells = np.asarray(op.cells)
+        n_loc = cells.shape[1]
+        dim = int(round(np.log2(n_loc))) if n_loc in (2, 4, 8) else 2
+        return int(op.shape[0]) * 3 ** dim
+
     def grid_complexity(self) -> float:
         """Σ level sizes / fine size (operator.hpp:49-51 contract)."""
-        sizes = ([A.shape[0] for A in self._A_per_level]
-                 if hasattr(self, "_A_per_level") else
-                 [s[0] for s in self._A_shapes])
+        sizes = [s[0] for s in self._A_shapes]
         return sum(sizes) / sizes[0]
 
     def operator_complexity(self) -> float:
-        nnzs = ([A.nnz for A in self._A_per_level]
-                if hasattr(self, "_A_per_level") else list(self._A_nnzs))
+        nnzs = list(self._A_nnzs)
         return sum(nnzs) / nnzs[0]
 
 

@@ -112,7 +112,7 @@ def build_recursive_restriction(mesh: Mesh, A_loc: np.ndarray,
                                 A_coarse_prev: sp.csr_matrix,
                                 boundary_dofs: np.ndarray,
                                 n_ev: int, block_dims,
-                                prev_batch=None,
+                                prev_batch=None, prev_blocks=None,
                                 local_space: str = "overlap") -> tuple:
     """One more AMGe level; returns (R_l csr over previous coarse, cell_super,
     super_grid).
@@ -144,7 +144,7 @@ def build_recursive_restriction(mesh: Mesh, A_loc: np.ndarray,
             interior = True
         A1, M, m1s, member_pad = _super_blocks_per_agg(
             prev_batch, super_of_agg, dof_rows, dof_vals, n_rows_prev, n_super,
-            row_super=row_super)
+            row_super=row_super, blocks=prev_blocks)
     else:
         A1, M, m1s, member_pad = _super_blocks_per_cell(
             mesh, A_loc, cell_super, dof_rows, dof_vals, boundary_dofs,
@@ -236,10 +236,89 @@ def _super_blocks_per_cell(mesh: Mesh, A_loc: np.ndarray,
     return A1, M, m1s, member_pad
 
 
+class AggBlocks:
+    """Per-agglomerate dense R / Galerkin blocks (shared by the global
+    Galerkin product and the recursive level's patch assembly).
+
+    arows : (n_agg, t_max) coarse rows touching each agglomerate (padded)
+    t_s   : (n_agg,) valid row counts
+    Rb    : (n_agg, t_max, m) dense blocks of R restricted to rows x agg dofs
+    K     : (n_agg, t_max, t_max) Galerkin blocks  Rb A_agg Rb^T
+    """
+
+    __slots__ = ("arows", "t_s", "Rb", "K")
+
+    def __init__(self, arows, t_s, Rb, K):
+        self.arows, self.t_s, self.Rb, self.K = arows, t_s, Rb, K
+
+
+def agg_galerkin_blocks(batch, dof_rows: np.ndarray, dof_vals: np.ndarray,
+                        n_rows: int, eliminate: bool = True) -> AggBlocks:
+    """Batched per-agglomerate Galerkin blocks K_a = Rb_a A_a Rb_a^T.
+
+    Assembly is additive over cells and every cell belongs to exactly one
+    agglomerate, so scattering the K_a reproduces R A R^T exactly (the
+    agglomerate-local A_agg carry the same Dirichlet elimination as the
+    global matrix: zeroed rows/cols, raw diagonal kept).
+
+    eliminate: additionally zero R values at constrained dofs inside the
+    blocks (the recursive level's local-eigenproblem convention).
+    """
+    n_agg, m = batch.dof_map.shape
+    dm = np.where(batch.valid, batch.dof_map, 0)
+    ar = np.where(batch.valid[:, :, None], dof_rows[dm], -1)   # (n_agg, m, q)
+    keep = batch.valid & ~batch.constrained if eliminate else batch.valid
+    av = np.where(keep[:, :, None], dof_vals[dm], 0.0)
+
+    # ---- unique rows touching each agglomerate (sorted, global key space) --
+    ok = ar >= 0
+    keys = np.where(ok, np.arange(n_agg, dtype=np.int64)[:, None, None]
+                    * n_rows + ar, -1)
+    agg_keys = np.unique(keys[ok])                         # agg-major sorted
+    key_agg = agg_keys // n_rows
+    t_s = np.bincount(key_agg, minlength=n_agg)
+    offs_a = np.concatenate([[0], np.cumsum(t_s)])
+    t_max = int(t_s.max()) if n_agg else 0
+    arows = np.zeros((n_agg, t_max), dtype=np.int64)
+    within = np.arange(len(agg_keys)) - offs_a[key_agg]
+    arows[key_agg, within] = agg_keys % n_rows
+
+    # dense per-agg R blocks (each (row, dof) pair appears once -> assignment)
+    pos = np.searchsorted(agg_keys, np.where(ok, keys, 0)) - offs_a[
+        np.arange(n_agg)[:, None, None]]
+    ai = np.broadcast_to(np.arange(n_agg)[:, None, None], ar.shape)
+    si = np.broadcast_to(np.arange(m)[None, :, None], ar.shape)
+    Rb = np.zeros((n_agg, t_max, m))
+    Rb[ai[ok], pos[ok], si[ok]] = av[ok]
+
+    K = np.empty((n_agg, t_max, t_max))
+
+    def _blk(lo, hi):
+        tmp = np.matmul(Rb[lo:hi], batch.A_agg[lo:hi])
+        np.matmul(tmp, np.swapaxes(Rb[lo:hi], 1, 2), out=K[lo:hi])
+
+    _run_threaded(_blk, n_agg)
+    return AggBlocks(arows, t_s, Rb, K)
+
+
+def galerkin_product_from_blocks(blocks: AggBlocks, n_rows: int) -> sp.csr_matrix:
+    """A_coarse = R A R^T assembled from the per-agglomerate Galerkin blocks
+    — replaces both fast_multiply_transpose and the R·AP SpGEMM in the
+    hierarchy's matrix-free setup (the global fine matrix never exists)."""
+    t_max = blocks.arows.shape[1]
+    valid = np.arange(t_max)[None] < blocks.t_s[:, None]    # (n_agg, t_max)
+    vij = valid[:, :, None] & valid[:, None, :]
+    ri = np.broadcast_to(blocks.arows[:, :, None], blocks.K.shape)[vij]
+    cj = np.broadcast_to(blocks.arows[:, None, :], blocks.K.shape)[vij]
+    A = sp.csr_matrix((blocks.K[vij], (ri, cj)), shape=(n_rows, n_rows))
+    A.sum_duplicates()
+    return A
+
+
 def _super_blocks_per_agg(batch, super_of_agg: np.ndarray,
                           dof_rows: np.ndarray, dof_vals: np.ndarray,
                           n_rows_prev: int, n_super: int,
-                          row_super=None):
+                          row_super=None, blocks: AggBlocks | None = None):
     """Per-super (A1, Gram) batches from per-AGGLOMERATE dense blocks.
 
     For each previous agglomerate a: Rb_a = the (t_a, m_a) dense block of R
@@ -250,34 +329,15 @@ def _super_blocks_per_agg(batch, super_of_agg: np.ndarray,
                                   exactly once in the super's Gram)
     and both scatter into the padded per-super batches.  Exact: assembly is
     additive over cells and a's local operator is the sum over its cells.
+
+    blocks: precomputed AggBlocks (shared with the global Galerkin product).
     """
+    if blocks is None:
+        blocks = agg_galerkin_blocks(batch, dof_rows, dof_vals, n_rows_prev)
+    arows, t_s, Rb, K = blocks.arows, blocks.t_s, blocks.Rb, blocks.K
     n_agg, m = batch.dof_map.shape
+    t_max = arows.shape[1]
     dm = np.where(batch.valid, batch.dof_map, 0)
-    ar = np.where(batch.valid[:, :, None], dof_rows[dm], -1)   # (n_agg, m, q)
-    av = np.where((batch.valid & ~batch.constrained)[:, :, None],
-                  dof_vals[dm], 0.0)
-    qm = ar.shape[2]
-
-    # ---- unique rows touching each agglomerate (sorted, global key space) --
-    ok = ar >= 0
-    keys = np.where(ok, np.arange(n_agg, dtype=np.int64)[:, None, None]
-                    * n_rows_prev + ar, -1)
-    agg_keys = np.unique(keys[ok])                         # agg-major sorted
-    key_agg = agg_keys // n_rows_prev
-    t_s = np.bincount(key_agg, minlength=n_agg)
-    offs_a = np.concatenate([[0], np.cumsum(t_s)])
-    t_max = int(t_s.max()) if n_agg else 0
-    arows = np.zeros((n_agg, t_max), dtype=np.int64)
-    within = np.arange(len(agg_keys)) - offs_a[key_agg]
-    arows[key_agg, within] = agg_keys % n_rows_prev
-
-    # dense per-agg R blocks (each (row, dof) pair appears once -> assignment)
-    pos = np.searchsorted(agg_keys, np.where(ok, keys, 0)) - offs_a[
-        np.arange(n_agg)[:, None, None]]
-    ai = np.broadcast_to(np.arange(n_agg)[:, None, None], ar.shape)
-    si = np.broadcast_to(np.arange(m)[None, :, None], ar.shape)
-    Rb = np.zeros((n_agg, t_max, m))
-    Rb[ai[ok], pos[ok], si[ok]] = av[ok]
 
     # ---- ownership: one owner agglomerate per (super, dof) ---------------
     G_of = super_of_agg.astype(np.int64)
@@ -290,13 +350,10 @@ def _super_blocks_per_agg(batch, super_of_agg: np.ndarray,
     own[order[first]] = True
     Rown = Rb * own.reshape(n_agg, m)[:, None, :]
 
-    # ---- batched BLAS-3 blocks, threaded over agglomerate chunks ---------
-    K = np.empty((n_agg, t_max, t_max))
+    # ---- batched BLAS-3 Gram blocks, threaded over agglomerate chunks ----
     Mb = np.empty((n_agg, t_max, t_max))
 
     def _blk(lo, hi):
-        tmp = np.matmul(Rb[lo:hi], batch.A_agg[lo:hi])
-        np.matmul(tmp, np.swapaxes(Rb[lo:hi], 1, 2), out=K[lo:hi])
         np.matmul(Rown[lo:hi], np.swapaxes(Rown[lo:hi], 1, 2), out=Mb[lo:hi])
 
     _run_threaded(_blk, n_agg)

@@ -122,7 +122,10 @@ class Config:
 
     max_levels: int = 2
     is_preconditioner: bool = True
-    fast_ap: bool = False
+    # None = auto: fast AP on for matrix-free-style operators (stencil /
+    # matrix_free / sumfac — the global fine matrix is then never assembled),
+    # off for the assembled ELL path.  Explicit True/False is respected.
+    fast_ap: bool | None = None
     # Multigrid cycle shape: "v" (the reference's only cycle), "w", or "f".
     # Only meaningful for max_levels > 2 (all cycles coincide at 2 levels).
     cycle_type: str = "v"
@@ -146,7 +149,8 @@ class Config:
         cfg.max_levels = int(d.get("max levels", d.get("max_levels", cfg.max_levels)))
         cfg.cycle_type = str(d.get("cycle type", d.get("cycle_type", cfg.cycle_type))).strip().lower()
         cfg.is_preconditioner = _to_bool(d.get("is preconditioner", d.get("is_preconditioner", cfg.is_preconditioner)))
-        cfg.fast_ap = _to_bool(d.get("fast_ap", cfg.fast_ap))
+        if "fast_ap" in d:
+            cfg.fast_ap = _to_bool(d["fast_ap"])
         cfg.operator = d.get("operator", cfg.operator)
         cfg.dtype = d.get("dtype", cfg.dtype)
         e = d.get("eigensolver", {})

@@ -29,10 +29,29 @@ class LaplaceProblem:
     coefficient: Callable
     geom: GeometryFactors = None
     A_loc: np.ndarray = None          # (n_cells, n_loc, n_loc) cell matrices
-    A_raw: sp.csr_matrix = None       # assembled, no constraints
-    A: sp.csr_matrix = None           # assembled, Dirichlet-eliminated
     diag_raw: np.ndarray = None       # raw (Neumann-assembled) global diagonal
     coeff_at_q: np.ndarray = None
+    # Global CSR matrices are assembled LAZILY: the matrix-free setup path
+    # (operator stencil/matrix_free/sumfac + fast AP) never touches them, so
+    # peak memory stays O(cells * n_loc^2) — the reference's matrix-free
+    # hierarchy likewise never forms global A
+    # (dealii_matrix_free_hierarchy_helpers.cc:55-303).
+    _A_raw: sp.csr_matrix = dataclasses.field(default=None, repr=False)
+    _A: sp.csr_matrix = dataclasses.field(default=None, repr=False)
+
+    @property
+    def A_raw(self) -> sp.csr_matrix:
+        """Assembled matrix, no constraints (lazy)."""
+        if self._A_raw is None:
+            self._A_raw = assemble_csr(self.mesh.cells, self.A_loc, self.mesh.n_nodes)
+        return self._A_raw
+
+    @property
+    def A(self) -> sp.csr_matrix:
+        """Assembled, Dirichlet-eliminated matrix (lazy)."""
+        if self._A is None:
+            self._A = eliminate_dirichlet(self.A_raw, self.mesh.boundary_dofs)
+        return self._A
 
     @staticmethod
     def hyper_cube(dim: int, n_refinements: int, degree: int = 1,
@@ -64,9 +83,11 @@ class LaplaceProblem:
         self.coeff_at_q = self.coefficient(self.geom.qpoints_phys)
         fn = local_matrix_fn or local_stiffness_matrices
         self.A_loc = fn(self.mesh, self.geom, self.coeff_at_q)
-        self.A_raw = assemble_csr(self.mesh.cells, self.A_loc, self.mesh.n_nodes)
-        self.diag_raw = np.asarray(self.A_raw.diagonal())
-        self.A = eliminate_dirichlet(self.A_raw, self.mesh.boundary_dofs)
+        # raw global diagonal straight from the cell matrices (no assembly)
+        d_loc = np.einsum("cii->ci", self.A_loc)
+        self.diag_raw = np.bincount(self.mesh.cells.reshape(-1),
+                                    weights=d_loc.reshape(-1),
+                                    minlength=self.mesh.n_nodes)
 
     # -- operator representations ------------------------------------------
     @property

@@ -92,6 +92,64 @@ def _stencil_apply_xla(op: StencilOperator, x: jax.Array) -> jax.Array:
     return y.reshape(x.shape)
 
 
+def stencil_from_cell_matrices(mesh: Mesh, A_loc: np.ndarray,
+                               constrained: np.ndarray, diag_raw: np.ndarray,
+                               dtype=jnp.float32) -> StencilOperator:
+    """Exact stencil extraction straight from the per-cell matrices — the
+    global CSR is never assembled (the matrix-free setup path,
+    dealii_matrix_free_hierarchy_helpers.cc:55-303 analog).
+
+    On a uniform structured mesh the per-axis offset between two local nodes
+    of a cell is fixed across cells, so entry (c, a, b) lands in stencil
+    plane offset(lm[b]-lm[a]) at row node(c, a): one bincount scatters all
+    cell matrices.  Dirichlet elimination is then applied in stencil form:
+    constrained rows keep only the raw-diagonal center, and couplings INTO
+    constrained columns are zeroed (matches ops.sparse.eliminate_dirichlet).
+    """
+    if not mesh.is_structured:
+        raise ValueError("stencil operator requires a structured mesh")
+    k = mesh.degree
+    nc = mesh.structured_shape
+    dim = mesh.dim
+    n1 = tuple(k * c + 1 for c in nc)          # nodes per dim, x first
+    grid_shape = tuple(reversed(n1))           # C-order: (z, y, x)
+    n_nodes = int(np.prod(n1))
+
+    from mfmg_tpu.fem.reference import reference_element
+    lm = reference_element(dim, k).local_multi_index     # (n_loc, dim) x first
+    doff = lm[None, :, :] - lm[:, None, :]               # (a, b, dim) x first
+    offsets = list(itertools.product(*[range(-k, k + 1)] * dim))  # (z,..,x)
+    oid_ab = np.zeros(doff.shape[:2], dtype=np.int64)
+    for d in range(dim - 1, -1, -1):           # (z,..,x) enumeration order
+        oid_ab = oid_ab * (2 * k + 1) + (doff[:, :, d] + k)
+
+    rows = mesh.cells.astype(np.int64)                   # (n_cells, n_loc)
+    flat = oid_ab[None, :, :] * n_nodes + rows[:, :, None]
+    coeffs = np.bincount(flat.reshape(-1), weights=A_loc.reshape(-1),
+                         minlength=len(offsets) * n_nodes)
+    coeffs = coeffs.reshape(len(offsets), n_nodes)
+
+    # Dirichlet elimination in stencil form
+    con = constrained.reshape(grid_shape)
+    kpad = k
+    con_pad = np.pad(con, kpad, constant_values=False)
+    center = len(offsets) // 2
+    for i, off in enumerate(offsets):
+        sl = tuple(slice(kpad + o, kpad + o + n) for o, n in zip(off, grid_shape))
+        col_con = con_pad[sl].reshape(-1)                # target-col constrained?
+        if i == center:
+            coeffs[i] = np.where(constrained, diag_raw, coeffs[i])
+        else:
+            coeffs[i] = np.where(constrained | col_con, 0.0, coeffs[i])
+
+    coeffs = coeffs.reshape((len(offsets),) + grid_shape)
+    nonzero = [i for i in range(len(offsets)) if np.any(coeffs[i])]
+    coeffs = coeffs[nonzero]
+    offsets = tuple(offsets[i] for i in nonzero)
+    return StencilOperator(coeffs=jnp.asarray(coeffs, dtype=dtype),
+                           offsets=offsets, grid_shape=grid_shape)
+
+
 def stencil_from_csr(A: sp.spmatrix, mesh: Mesh, dtype=jnp.float32) -> StencilOperator:
     """Exact stencil extraction from an assembled matrix on a structured mesh."""
     if not mesh.is_structured:

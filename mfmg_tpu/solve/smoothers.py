@@ -216,12 +216,54 @@ def estimate_extreme_eigenvalues_host(A_scipy, n_iter: int = 40, seed: int = 7):
     """Host Lanczos estimate of the D^{-1}A interval from the assembled scipy
     matrix — zero device programs, which matters on remote runtimes where each
     compilation costs minutes."""
-    import scipy.sparse as sp
+    return _host_lanczos_interval(lambda v: A_scipy @ v,
+                                  np.asarray(A_scipy.diagonal()),
+                                  A_scipy.shape[0], n_iter, seed)
 
-    n = A_scipy.shape[0]
+
+def estimate_extreme_eigenvalues_stencil(op, n_iter: int = 40, seed: int = 7):
+    """Host Lanczos estimate using the stencil coefficients directly (numpy
+    shifted-slice apply — mirrors ops.stencil._stencil_apply_xla)."""
+    coeffs = np.asarray(op.coeffs, dtype=np.float64)
+    grid_shape, offsets = op.grid_shape, op.offsets
+    k = max(max(abs(o) for o in off) for off in offsets)
+    n = int(np.prod(grid_shape))
+    center = [i for i, off in enumerate(offsets) if not any(off)]
+    diag = coeffs[center[0]].reshape(-1) if center else np.ones(n)
+
+    def apply_fn(v):
+        xp = np.pad(v.reshape(grid_shape), k)
+        y = np.zeros(grid_shape)
+        for i, off in enumerate(offsets):
+            sl = tuple(slice(k + o, k + o + m) for o, m in zip(off, grid_shape))
+            y += coeffs[i] * xp[sl]
+        return y.reshape(-1)
+
+    return _host_lanczos_interval(apply_fn, diag, n, n_iter, seed)
+
+
+def estimate_extreme_eigenvalues_cells(cells, A_loc, constrained, diag_raw,
+                                       n_iter: int = 40, seed: int = 7):
+    """Host Lanczos estimate straight from the per-cell matrices — the
+    matrix-free setup path (the global matrix is never assembled).  The apply
+    matches the eliminated operator: gather -> batched cell matvec ->
+    scatter-add, with identity-times-raw-diagonal rows at constrained dofs
+    (ops/local_apply.py semantics)."""
+    n = diag_raw.shape[0]
+    flat = cells.reshape(-1)
+
+    def apply_fn(v):
+        vz = np.where(constrained, 0.0, v)
+        y_loc = np.einsum("cij,cj->ci", A_loc, vz[cells])
+        y = np.bincount(flat, weights=y_loc.reshape(-1), minlength=n)
+        return np.where(constrained, diag_raw * v, y)
+
+    return _host_lanczos_interval(apply_fn, diag_raw, n, n_iter, seed)
+
+
+def _host_lanczos_interval(apply_fn, diag, n, n_iter: int, seed: int):
     n_iter = min(n_iter, n)
-    d = np.asarray(A_scipy.diagonal())
-    sq = 1.0 / np.sqrt(np.where(d != 0, d, 1.0))
+    sq = 1.0 / np.sqrt(np.where(diag != 0, diag, 1.0))
     rng = np.random.default_rng(seed)
     v = rng.uniform(0.0, 1.0, size=n)
     v /= np.linalg.norm(v)
@@ -229,7 +271,7 @@ def estimate_extreme_eigenvalues_host(A_scipy, n_iter: int = 40, seed: int = 7):
     beta = 0.0
     alphas, betas = [], []
     for _ in range(n_iter):
-        w = sq * (A_scipy @ (sq * v))
+        w = sq * apply_fn(sq * v)
         alpha = v @ w
         w = w - alpha * v - beta * v_prev
         alphas.append(alpha)
@@ -243,11 +285,14 @@ def estimate_extreme_eigenvalues_host(A_scipy, n_iter: int = 40, seed: int = 7):
     return float(ev[0]), float(ev[-1])
 
 
-def build_smoother(op, smoother_cfg, dtype=jnp.float64, A_scipy=None):
+def build_smoother(op, smoother_cfg, dtype=jnp.float64, A_scipy=None,
+                   problem=None):
     """Factory (analog of HierarchyHelpers::build_smoother).
 
     A_scipy: optional assembled matrix for host-side eigenvalue estimation
-    (avoids compiling a device Lanczos program at setup)."""
+    (avoids compiling a device Lanczos program at setup).  problem: cell-
+    matrix source for the same estimate on the matrix-free setup path
+    (neither assembles nor needs the global matrix)."""
     diag = operator_diagonal(op)
     inv_diag = jnp.where(diag != 0, 1.0 / diag, 0.0).astype(dtype)
     stype = smoother_cfg.type.strip().lower()
@@ -264,8 +309,15 @@ def build_smoother(op, smoother_cfg, dtype=jnp.float64, A_scipy=None):
             lmin_est = lmax / 20.0
         else:
             n_iter = max(smoother_cfg.eig_cg_n_iterations, 40)
+            from mfmg_tpu.ops.stencil import StencilOperator
             if A_scipy is not None:
                 lmin_est, lmax_est = estimate_extreme_eigenvalues_host(A_scipy, n_iter=n_iter)
+            elif isinstance(op, StencilOperator):
+                lmin_est, lmax_est = estimate_extreme_eigenvalues_stencil(op, n_iter=n_iter)
+            elif problem is not None:
+                lmin_est, lmax_est = estimate_extreme_eigenvalues_cells(
+                    problem.mesh.cells, problem.A_loc, problem.constrained,
+                    problem.diag_raw, n_iter=n_iter)
             else:
                 lmin_est, lmax_est = estimate_extreme_eigenvalues(op, inv_diag, n_iter=n_iter)
             lmax = 1.2 * lmax_est          # deal.II safety factor

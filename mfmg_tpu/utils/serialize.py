@@ -26,8 +26,8 @@ def save_hierarchy(hier, path: str) -> None:
     meta = {
         "treedef": treedef,
         "config": hier.config,
-        "A_shapes": [A.shape for A in hier._A_per_level],
-        "A_nnzs": [A.nnz for A in hier._A_per_level],
+        "A_shapes": list(hier._A_shapes),
+        "A_nnzs": list(hier._A_nnzs),
         "dtypes": [str(np.asarray(l).dtype) for l in leaves],
     }
     arrays = {f"arr_{i}": np.asarray(l) for i, l in enumerate(leaves)}

@@ -58,7 +58,7 @@ def test_hierarchy_fast_ap_same_rate():
                 eigensolver=EigensolverConfig(type="lapack", n_eigenvectors=2),
                 smoother=SmootherConfig(type="chebyshev", degree=1),
                 agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2))
-    h_slow = Hierarchy(prob, Config(**base))
+    h_slow = Hierarchy(prob, Config(fast_ap=False, **base))
     h_fast = Hierarchy(prob, Config(fast_ap=True, **base))
     Ac_slow = h_slow._A_per_level[1].toarray()
     Ac_fast = h_fast._A_per_level[1].toarray()
@@ -66,3 +66,24 @@ def test_hierarchy_fast_ap_same_rate():
     r_slow = measure_vcycle_rate(h_slow, 20, seed=0)
     r_fast = measure_vcycle_rate(h_fast, 20, seed=0)
     assert r_fast == pytest.approx(r_slow, abs=1e-8)
+
+
+def test_matrix_free_setup_never_assembles_global_matrix():
+    """The matrix-free setup path (mf-style operator + fast AP) must never
+    form the global CSR — the reference's matrix-free hierarchy does not
+    either (dealii_matrix_free_hierarchy_helpers.cc:55-303).  Global A is a
+    lazy property; asserting the caches stay empty proves no setup step
+    touched it."""
+    for operator in ("stencil", "matrix_free", "sumfac"):
+        prob = LaplaceProblem.hyper_cube(3, 3, material_property="linear")
+        cfg = Config(operator=operator, max_levels=3,
+                     smoother=SmootherConfig(type="chebyshev", degree=2),
+                     agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2))
+        h = Hierarchy(prob, cfg)
+        assert prob._A is None and prob._A_raw is None, operator
+        # and the hierarchy still solves
+        b = np.random.default_rng(0).uniform(size=prob.n_dofs)
+        b[prob.constrained] = 0.0
+        x, info = h.solve_cg(b, tol=1e-8, maxiter=50)
+        assert info["iterations"] <= 20, (operator, info)
+        assert h.operator_complexity() > 1.0
