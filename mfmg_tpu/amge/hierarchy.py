@@ -151,6 +151,23 @@ class Hierarchy:
             fine_op = problem.ell_operator(dtype=self.dtype)
 
         num_levels = cfg.max_levels
+        # "amg"/"ml" coarse solver: the nested hierarchy the reference
+        # delegates to ML/AMGX (dealii_solver.cc:25-87, cuda_solver.cu:42-515)
+        # is built by CONTINUING the same AMGe recursion for
+        # coarse.max_levels - 1 extra levels; those levels are packaged into
+        # an AMGCoarseSolver below, applied as one nested V-cycle per outer
+        # coarse solve.  With coarse "max levels" == 1 this degenerates to
+        # the direct solver exactly (the reference's ML consistency oracle,
+        # test_hierarchy.cc:228-260).
+        amg_coarse = cfg.coarse.type.strip().lower() in ("amg", "ml", "amgx")
+        nested_extra = 0
+        ml_knobs = None
+        if amg_coarse:
+            from mfmg_tpu.solve.coarse import parse_ml_params
+            ml_knobs = parse_ml_params(cfg.coarse)
+            nested_extra = max(0, ml_knobs["max_levels"] - 1)
+        total_levels = num_levels + nested_extra
+
         # level-0 slot is None on the matrix-free setup path: global A is
         # neither assembled nor needed (fast AP + cell-matrix eig estimate).
         A_fine = None if matrix_free_setup else problem.A
@@ -162,16 +179,26 @@ class Hierarchy:
 
         op = fine_op
         _mark("fine operator")
-        for level in range(num_levels):
-            if level == num_levels - 1:
+        for level in range(total_levels):
+            if level == total_levels - 1:
                 A_c = self._A_per_level[level]
                 if A_c is None:
                     A_c = problem.A          # max_levels==1 degenerate case
-                coarse = build_coarse_solver(A_c, cfg.coarse, dtype=self.dtype)
+                from mfmg_tpu.config import CoarseConfig
+                bottom_cfg = (CoarseConfig(type="direct") if amg_coarse
+                              else cfg.coarse)
+                coarse = build_coarse_solver(A_c, bottom_cfg, dtype=self.dtype)
                 _mark(f"coarse solver (n={A_c.shape[0]})")
                 self.levels.append(LevelData(op=op, coarse=coarse))
                 break
-            smoother = build_smoother(op, cfg.smoother, dtype=self.dtype,
+            smoother_cfg = cfg.smoother
+            if (amg_coarse and level >= num_levels - 1
+                    and ml_knobs["smoother_type"]):
+                t = ml_knobs["smoother_type"].strip().lower()
+                t = ("chebyshev" if "cheby" in t else
+                     "symmetric gauss-seidel" if "gauss" in t else "jacobi")
+                smoother_cfg = dataclasses.replace(cfg.smoother, type=t)
+            smoother = build_smoother(op, smoother_cfg, dtype=self.dtype,
                                       A_scipy=self._A_per_level[level],
                                       problem=problem if level == 0 else None)
             _mark(f"smoother L{level}")
@@ -240,6 +267,15 @@ class Hierarchy:
             if op is None:
                 op = ell_from_scipy(A_coarse, dtype=self.dtype)
 
+        if amg_coarse and nested_extra > 0:
+            # package the continued levels as the coarse solver
+            from mfmg_tpu.solve.coarse import AMGCoarseSolver
+            nested = tuple(self.levels[num_levels - 1:])
+            solver = AMGCoarseSolver(
+                levels=nested, n_smoothing_steps=ml_knobs["n_smoothing_steps"])
+            self.levels = self.levels[: num_levels - 1] + [
+                LevelData(op=nested[0].op, coarse=solver)]
+
     def _build_restrictor(self, level: int) -> sp.csr_matrix:
         """Analog of HierarchyHelpers::build_restrictor for one level.
 
@@ -250,7 +286,9 @@ class Hierarchy:
         problem = self.problem
         if level == 0:
             agg_ids = build_agglomerates(problem.mesh, cfg.agglomeration)
-            batch = build_agglomerate_batch(problem.mesh, problem.A_loc, agg_ids)
+            batch_dtype = np.float64 if self.dtype == jnp.float64 else np.float32
+            batch = build_agglomerate_batch(problem.mesh, problem.A_loc, agg_ids,
+                                            batch_dtype=batch_dtype)
             check_restriction(batch, problem.diag_raw, problem.n_dofs)
             evals, evecs = self._eigensolve(batch)
             self._level0_agg_ids = agg_ids

@@ -53,7 +53,8 @@ class AgglomerateBatch:
         return self.dof_map.shape[1]
 
 
-def build_agglomerate_batch(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray) -> AgglomerateBatch:
+def build_agglomerate_batch(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray,
+                            batch_dtype=np.float64) -> AgglomerateBatch:
     """Assemble local dense operators for every agglomerate.
 
     A_loc: (n_cells, n_loc, n_loc) cell stiffness matrices (raw / Neumann).
@@ -62,14 +63,23 @@ def build_agglomerate_batch(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray) 
     path (every agglomerate shares one local index structure — the batching
     the reference leaves as a TODO at amge_device.templates.cuh:391-392);
     anything else falls back to the generic per-agglomerate loop.
+
+    batch_dtype: dtype of the dense A_agg batch.  float32 halves the batch's
+    memory traffic through the eigensolve and Galerkin blocks; the PoU
+    diagonals are always accumulated in float64 (the partition-of-unity
+    identity is checked to 1e-12).
     """
-    fast = _try_build_structured(mesh, A_loc, agg_ids)
+    fast = _try_build_structured(mesh, A_loc, agg_ids, batch_dtype)
     if fast is not None:
         return fast
-    return _build_generic(mesh, A_loc, agg_ids)
+    batch = _build_generic(mesh, A_loc, agg_ids)
+    if np.dtype(batch_dtype) != np.float64:
+        batch.A_agg = batch.A_agg.astype(batch_dtype)
+    return batch
 
 
-def _try_build_structured(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray):
+def _try_build_structured(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray,
+                          batch_dtype=np.float64):
     """Vectorized batch build for uniform blocks on a structured grid."""
     if not mesh.is_structured:
         return None
@@ -123,24 +133,31 @@ def _try_build_structured(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray):
     # batched dense assembly: native kernel, numpy scatter-add fallback
     from mfmg_tpu import native
     A_agg = native.assemble_agglomerate_batch_uniform(
-        cells_per_agg, local_cells, A_loc, n_agg, m)
+        cells_per_agg, local_cells, A_loc, n_agg, m, dtype=batch_dtype)
     if A_agg is None:
-        A_agg = np.zeros((n_agg, m, m))
+        A_agg = np.zeros((n_agg, m, m), dtype=batch_dtype)
         gi = np.broadcast_to(np.arange(n_agg)[:, None, None, None],
                              (n_agg, len(bc), n_loc, n_loc))
         rows = np.broadcast_to(local_cells[None, :, :, None], gi.shape)
         cols = np.broadcast_to(local_cells[None, :, None, :], gi.shape)
         np.add.at(A_agg, (gi.reshape(-1), rows.reshape(-1), cols.reshape(-1)),
-                  A_loc[cells_per_agg].reshape(-1))
+                  A_loc[cells_per_agg].reshape(-1).astype(batch_dtype))
 
     valid = np.ones((n_agg, m), dtype=bool)
-    diag = np.einsum("gii->gi", A_agg).copy()
+    if np.dtype(batch_dtype) == np.float64:
+        diag = np.einsum("gii->gi", A_agg).copy()
+    else:
+        # PoU diagonals in float64 straight from the cell matrices
+        diag = np.zeros((n_agg, m))
+        d_loc = np.einsum("cii->ci", A_loc)[cells_per_agg]   # (n_agg, n_bc, n_loc)
+        np.add.at(diag, (np.broadcast_to(np.arange(n_agg)[:, None, None], d_loc.shape),
+                         np.broadcast_to(local_cells[None], d_loc.shape)), d_loc)
     constrained = mesh.boundary_dofs[dof_map]
 
     keep = ~constrained
     A_agg *= keep[:, :, None] * keep[:, None, :]
     gi2, ii2 = np.nonzero(constrained)
-    A_agg[gi2, ii2, ii2] = diag[gi2, ii2]
+    A_agg[gi2, ii2, ii2] = diag[gi2, ii2].astype(batch_dtype)
 
     return AgglomerateBatch(dof_map=dof_map, valid=valid, A_agg=A_agg,
                             diag=diag, constrained=constrained,

@@ -291,11 +291,15 @@ def agg_galerkin_blocks(batch, dof_rows: np.ndarray, dof_vals: np.ndarray,
     Rb = np.zeros((n_agg, t_max, m))
     Rb[ai[ok], pos[ok], si[ok]] = av[ok]
 
-    K = np.empty((n_agg, t_max, t_max))
+    # K in the batch's dtype (float32 batches halve the BLAS-3 time; the
+    # Gram/rank-cutoff stage stays float64 via Rb)
+    kdt = batch.A_agg.dtype
+    K = np.empty((n_agg, t_max, t_max), dtype=kdt)
 
     def _blk(lo, hi):
-        tmp = np.matmul(Rb[lo:hi], batch.A_agg[lo:hi])
-        np.matmul(tmp, np.swapaxes(Rb[lo:hi], 1, 2), out=K[lo:hi])
+        Rb_c = Rb[lo:hi].astype(kdt, copy=False)
+        tmp = np.matmul(Rb_c, batch.A_agg[lo:hi])
+        np.matmul(tmp, np.swapaxes(Rb_c, 1, 2), out=K[lo:hi])
 
     _run_threaded(_blk, n_agg)
     return AggBlocks(arows, t_s, Rb, K)

@@ -86,9 +86,13 @@ class CoarseConfig:
     # "cg" coarse solver controls
     tolerance: float = 1e-12
     max_iterations: int = 200
-    # "amg" coarse solver: parameters of the recursive hierarchy
+    # "amg"/"ml" coarse solver: parameters of the recursive hierarchy
     max_levels: int = 2
     n_agglomerates: int = 8
+    # ML-style parameter-list overlay (the analog of the reference's
+    # ptree2plist coarse.params.* keys, source/common/utils.cc:20-80);
+    # consumed by solve/coarse._build_algebraic_amg, unknown keys warn.
+    params: dict = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass
@@ -164,6 +168,8 @@ class Config:
             num_cycles=int(e.get("num_cycles", 1)),
             num_eigenpairs_per_cycle=int(e.get("num_eigenpairs_per_cycle", 1)),
             use_initial_guess=_to_bool(e.get("use_initial_guess", False)),
+            backend=e.get("backend", "auto"),
+            constrained_mode=e.get("constrained_mode", "auto"),
         )
         s = d.get("smoother", {})
         cfg.smoother = SmootherConfig(
@@ -172,9 +178,18 @@ class Config:
             degree=int(s.get("degree", 1)),
             smoothing_range=float(s.get("smoothing_range", 0.0)),
             max_eigenvalue=(float(s["max_eigenvalue"]) if "max_eigenvalue" in s else None),
+            eig_cg_n_iterations=int(s.get("eig_cg_n_iterations", 8)),
+            jacobi_omega=float(s.get("jacobi_omega", 1.0)),
         )
         c = d.get("coarse", {})
-        cfg.coarse = CoarseConfig(type=c.get("type", cfg.coarse.type).strip().lower())
+        cfg.coarse = CoarseConfig(
+            type=c.get("type", cfg.coarse.type).strip().lower(),
+            tolerance=float(c.get("tolerance", 1e-12)),
+            max_iterations=int(c.get("max_iterations", 200)),
+            max_levels=int(c.get("max levels", c.get("max_levels", 2))),
+            n_agglomerates=int(c.get("n_agglomerates", 8)),
+            params=dict(c.get("params", {})),
+        )
         a = d.get("agglomeration", {})
         cfg.agglomeration = AgglomerationConfig(
             partitioner=a.get("partitioner", "block"),
@@ -183,7 +198,40 @@ class Config:
             nz=int(a.get("nz", 2)),
             n_agglomerates=int(a.get("n_agglomerates", 4)),
         )
+        _warn_unknown(d, {
+            "": {"max levels", "max_levels", "cycle type", "cycle_type",
+                 "is preconditioner", "is_preconditioner", "fast_ap",
+                 "operator", "dtype", "eigensolver", "smoother", "coarse",
+                 "agglomeration", "solver", "laplace"},
+            "eigensolver": {"type", "number of eigenvectors", "n_eigenvectors",
+                            "tolerance", "max_iterations", "percent_overshoot",
+                            "is_deflated", "num_cycles",
+                            "num_eigenpairs_per_cycle", "use_initial_guess",
+                            "full_ortho", "backend", "constrained_mode"},
+            "smoother": {"type", "n_smoothing_steps", "degree",
+                         "smoothing_range", "max_eigenvalue",
+                         "eig_cg_n_iterations", "jacobi_omega"},
+            "coarse": {"type", "tolerance", "max_iterations", "max levels",
+                       "max_levels", "n_agglomerates", "params", "config_file"},
+            "agglomeration": {"partitioner", "nx", "ny", "nz",
+                              "n_agglomerates", "eigensolver"},
+        })
         return cfg
+
+
+def _warn_unknown(d: dict, known: dict) -> None:
+    """Warn about config keys that would otherwise be silently dropped
+    (the reference aborts on malformed ptrees; we keep going but say so)."""
+    import warnings
+    for section, keys in known.items():
+        sub = d if section == "" else d.get(section, {})
+        if not isinstance(sub, dict):
+            continue
+        for k in sub:
+            if k not in keys:
+                where = f"{section}.{k}" if section else k
+                warnings.warn(f"config key {where!r} is not consumed by "
+                              f"mfmg_tpu", stacklevel=3)
 
 
 def _to_bool(v) -> bool:

@@ -76,20 +76,25 @@ def batched_smallest_eigenpairs(batch: AgglomerateBatch, n_ev: int,
         # never enters the solve at all.  Diagonal edits go through a
         # writable einsum view — one dtype-cast pass over the batch total.
         import scipy.linalg as sla
-        Mh = batch.A_agg.astype(host_dtype)
-        dview = np.einsum("gii->gi", Mh)
-        dview += (shifts[:, None] * batch.valid).astype(host_dtype)
-        if constrained_mode in ("pin", "identity"):
-            dview[batch.constrained] = CONSTRAINED_DIAG
+        Mh = batch.A_agg               # read-only; per-solve copies below
+        pin = constrained_mode in ("pin", "identity")
         evals = np.zeros((n_agg, n_ev))
         evecs = np.zeros((n_agg, m_max, n_ev))
 
         def _solve_range(lo, hi):
             # LAPACK releases the GIL, so threads scale on the host cores.
+            # Each solve copies only its own (sz, sz) block (diagonal edits
+            # happen on the copy) — the batch itself is never duplicated.
             for i in range(lo, hi):
                 sz = int(batch.sizes[i])
-                w, v = sla.eigh(Mh[i, :sz, :sz], subset_by_index=[0, n_ev - 1],
-                                driver="evx", check_finite=False)
+                Mi = np.array(Mh[i, :sz, :sz], dtype=host_dtype)
+                dv = np.einsum("ii->i", Mi)
+                dv += host_dtype(shifts[i])
+                if pin:
+                    dv[batch.constrained[i, :sz]] = CONSTRAINED_DIAG
+                w, v = sla.eigh(Mi, subset_by_index=[0, n_ev - 1],
+                                driver="evx", check_finite=False,
+                                overwrite_a=True)
                 evals[i] = w.astype(np.float64) - shifts[i]
                 evecs[i, :sz] = v.astype(np.float64)
 

@@ -40,7 +40,14 @@ def _load():
         i64 = ctypes.POINTER(ctypes.c_int64)
         i32 = ctypes.POINTER(ctypes.c_int32)
         f64 = ctypes.POINTER(ctypes.c_double)
+        f32 = ctypes.POINTER(ctypes.c_float)
         lib.assemble_agglomerate_batch_uniform.argtypes = [
+            i64, i64, f64, f64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        lib.assemble_agglomerate_batch_uniform_f32.argtypes = [
+            i64, i64, f64, f32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        lib.stencil_scatter.argtypes = [
             i64, i64, f64, f64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
         lib.assemble_patch.argtypes = [
@@ -59,9 +66,10 @@ def _ptr(a, ct):
     return a.ctypes.data_as(ctypes.POINTER(ct))
 
 
-def assemble_agglomerate_batch_uniform(cells_per_agg, local_cells, A_loc, n_agg, m):
-    """Returns (n_agg, m, m) batched dense assembly, or None if native
-    kernels are unavailable."""
+def assemble_agglomerate_batch_uniform(cells_per_agg, local_cells, A_loc, n_agg, m,
+                                       dtype=np.float64):
+    """Returns (n_agg, m, m) batched dense assembly (float64 or float32
+    output), or None if native kernels are unavailable."""
     lib = _load()
     if lib is None:
         return None
@@ -69,11 +77,34 @@ def assemble_agglomerate_batch_uniform(cells_per_agg, local_cells, A_loc, n_agg,
     local_cells = np.ascontiguousarray(local_cells, dtype=np.int64)
     A_loc = np.ascontiguousarray(A_loc, dtype=np.float64)
     n_bc, n_loc = local_cells.shape
-    out = np.zeros((n_agg, m, m))
-    lib.assemble_agglomerate_batch_uniform(
-        _ptr(cells_per_agg, ctypes.c_int64), _ptr(local_cells, ctypes.c_int64),
-        _ptr(A_loc, ctypes.c_double), _ptr(out, ctypes.c_double),
-        n_agg, n_bc, n_loc, m)
+    out = np.zeros((n_agg, m, m), dtype=dtype)
+    if np.dtype(dtype) == np.float32:
+        lib.assemble_agglomerate_batch_uniform_f32(
+            _ptr(cells_per_agg, ctypes.c_int64), _ptr(local_cells, ctypes.c_int64),
+            _ptr(A_loc, ctypes.c_double), _ptr(out, ctypes.c_float),
+            n_agg, n_bc, n_loc, m)
+    else:
+        lib.assemble_agglomerate_batch_uniform(
+            _ptr(cells_per_agg, ctypes.c_int64), _ptr(local_cells, ctypes.c_int64),
+            _ptr(A_loc, ctypes.c_double), _ptr(out, ctypes.c_double),
+            n_agg, n_bc, n_loc, m)
+    return out
+
+
+def stencil_scatter(rows, oid_ab, A_loc, n_planes, n_nodes):
+    """coeffs[oid_ab[a,b], rows[c,a]] += A_loc[c,a,b] over all (c,a,b);
+    returns (n_planes, n_nodes) float64 or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    oid_ab = np.ascontiguousarray(oid_ab, dtype=np.int64)
+    A_loc = np.ascontiguousarray(A_loc, dtype=np.float64)
+    n_cells, n_loc = rows.shape
+    out = np.zeros((n_planes, n_nodes))
+    lib.stencil_scatter(_ptr(rows, ctypes.c_int64), _ptr(oid_ab, ctypes.c_int64),
+                        _ptr(A_loc, ctypes.c_double), _ptr(out, ctypes.c_double),
+                        n_cells, n_loc, n_planes, n_nodes)
     return out
 
 

@@ -124,10 +124,13 @@ def stencil_from_cell_matrices(mesh: Mesh, A_loc: np.ndarray,
         oid_ab = oid_ab * (2 * k + 1) + (doff[:, :, d] + k)
 
     rows = mesh.cells.astype(np.int64)                   # (n_cells, n_loc)
-    flat = oid_ab[None, :, :] * n_nodes + rows[:, :, None]
-    coeffs = np.bincount(flat.reshape(-1), weights=A_loc.reshape(-1),
-                         minlength=len(offsets) * n_nodes)
-    coeffs = coeffs.reshape(len(offsets), n_nodes)
+    from mfmg_tpu import native
+    coeffs = native.stencil_scatter(rows, oid_ab, A_loc, len(offsets), n_nodes)
+    if coeffs is None:
+        flat = oid_ab[None, :, :] * n_nodes + rows[:, :, None]
+        coeffs = np.bincount(flat.reshape(-1), weights=A_loc.reshape(-1),
+                             minlength=len(offsets) * n_nodes)
+        coeffs = coeffs.reshape(len(offsets), n_nodes)
 
     # Dirichlet elimination in stencil form
     con = constrained.reshape(grid_shape)

@@ -70,6 +70,63 @@ void assemble_agglomerate_batch_uniform(
   });
 }
 
+// float32-output variant: the downstream pipeline (batched eigensolve,
+// Galerkin blocks) runs in float32 when the hierarchy dtype allows, so
+// assembling straight into float halves the batch's memory traffic.
+void assemble_agglomerate_batch_uniform_f32(
+    const int64_t* cells_per_agg,   // (n_agg, n_bc)
+    const int64_t* local_cells,     // (n_bc, n_loc)
+    const double* A_loc,            // (n_cells, n_loc, n_loc)
+    float* A_agg,                   // (n_agg, m, m), zero-initialized
+    int64_t n_agg, int64_t n_bc, int64_t n_loc, int64_t m)
+{
+  const int64_t nl2 = n_loc * n_loc;
+  parallel_ranges(n_agg, [=](int64_t g_lo, int64_t g_hi) {
+    for (int64_t g = g_lo; g < g_hi; ++g) {
+      float* Ag = A_agg + g * m * m;
+      for (int64_t c = 0; c < n_bc; ++c) {
+        const double* Ac = A_loc + cells_per_agg[g * n_bc + c] * nl2;
+        const int64_t* lc = local_cells + c * n_loc;
+        for (int64_t i = 0; i < n_loc; ++i) {
+          float* row = Ag + lc[i] * m;
+          const double* src = Ac + i * n_loc;
+          for (int64_t j = 0; j < n_loc; ++j)
+            row[lc[j]] += (float)src[j];
+        }
+      }
+    }
+  });
+}
+
+// Structured-grid stencil extraction scatter:
+//   coeffs[oid_ab[a,b], rows[c,a]] += A_loc[c,a,b]
+// Parallel over stencil planes (distinct oid -> disjoint output), each thread
+// walking only its plane's (a,b) pairs — no synchronization.
+void stencil_scatter(
+    const int64_t* rows,            // (n_cells, n_loc) global node of (c, a)
+    const int64_t* oid_ab,          // (n_loc, n_loc) plane id of (a, b)
+    const double* A_loc,            // (n_cells, n_loc, n_loc)
+    double* coeffs,                 // (n_planes, n_nodes), zero-initialized
+    int64_t n_cells, int64_t n_loc, int64_t n_planes, int64_t n_nodes)
+{
+  // group (a, b) pairs by plane id
+  std::vector<std::vector<int64_t>> pairs(n_planes);
+  for (int64_t a = 0; a < n_loc; ++a)
+    for (int64_t b = 0; b < n_loc; ++b)
+      pairs[oid_ab[a * n_loc + b]].push_back(a * n_loc + b);
+  const int64_t nl2 = n_loc * n_loc;
+  parallel_ranges(n_planes, [&](int64_t p_lo, int64_t p_hi) {
+    for (int64_t p = p_lo; p < p_hi; ++p) {
+      double* out = coeffs + p * n_nodes;
+      for (int64_t ab : pairs[p]) {
+        const int64_t a = ab / n_loc;
+        for (int64_t c = 0; c < n_cells; ++c)
+          out[rows[c * n_loc + a]] += A_loc[c * nl2 + ab];
+      }
+    }
+  });
+}
+
 // Generic per-patch dense assembly (ragged agglomerates / fast_ap patches):
 // one patch at a time, caller loops.
 void assemble_patch(

@@ -191,3 +191,83 @@ def test_cycle_types_w_and_f():
     r2 = {ct: measure_vcycle_rate(Hierarchy(prob, mk(2, ct)), 5, seed=0)
           for ct in ("v", "w", "f")}
     assert abs(r2["v"] - r2["w"]) < 1e-10 and abs(r2["v"] - r2["f"]) < 1e-10, r2
+
+
+def test_amg_coarse_solver_consistency():
+    """AMG/ML coarse-solver consistency, mirroring the reference's ML tests
+    (test_hierarchy.cc:228-260 and dealii_solver.cc:25-87):
+
+    1. a hierarchy whose coarse AMG collapses to a direct solve (nested
+       max_levels=1) must match the direct-coarse hierarchy's rate exactly;
+    2. a genuinely multilevel AMG coarse solve is an inexact coarse solve,
+       so its rate is no better than (and close to) the direct one;
+    3. "ml" (smoothed aggregation) also converges.
+    """
+    prob = LaplaceProblem.hyper_cube(2, 5)
+    base = dict(is_preconditioner=False,
+                smoother=SmootherConfig(type="chebyshev", degree=2),
+                agglomeration=AgglomerationConfig(nx=2, ny=2))
+    r_direct = measure_vcycle_rate(
+        Hierarchy(prob, Config(coarse=CoarseConfig(type="direct"), **base)), 20, seed=0)
+    r_amg1 = measure_vcycle_rate(
+        Hierarchy(prob, Config(coarse=CoarseConfig(type="amg", max_levels=1), **base)),
+        20, seed=0)
+    assert r_amg1 == pytest.approx(r_direct, abs=1e-9), (r_amg1, r_direct)
+
+    r_amg = measure_vcycle_rate(
+        Hierarchy(prob, Config(coarse=CoarseConfig(
+            type="amg", max_levels=3,
+            params={"aggregation: nodes per aggregate": 16}), **base)), 20, seed=0)
+    assert r_direct <= r_amg + 1e-9 < 0.6, (r_direct, r_amg)
+
+    r_ml = measure_vcycle_rate(
+        Hierarchy(prob, Config(coarse=CoarseConfig(
+            type="ml", max_levels=3,
+            params={"aggregation: nodes per aggregate": 16}), **base)), 20, seed=0)
+    assert r_ml < 0.6, r_ml
+
+
+def test_amg_coarse_params_overlay_and_warnings():
+    """coarse.params.* overlay (ptree2plist analog, source/common/utils.cc:
+    20-80): ML keys map onto the nested AMG's knobs; unknown keys warn
+    instead of being silently dropped."""
+    import warnings
+    prob = LaplaceProblem.hyper_cube(2, 4)
+    cfg = Config(is_preconditioner=False,
+                 smoother=SmootherConfig(type="chebyshev", degree=2),
+                 agglomeration=AgglomerationConfig(nx=2, ny=2),
+                 coarse=CoarseConfig(type="ml", params={
+                     "max levels": 2,
+                     "smoother: sweeps": 2,
+                     "smoother: type": "Chebyshev",
+                     "aggregation: nodes per aggregate": 9,
+                     "bogus ml key": 1,
+                 }))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        h = Hierarchy(prob, cfg)
+    assert any("bogus ml key" in str(w.message) for w in rec)
+    coarse = h.levels[-1].coarse
+    assert coarse.n_smoothing_steps == 2
+    assert measure_vcycle_rate(h, 10, seed=0) < 0.6
+
+
+def test_config_from_dict_full_coarse_and_unknown_key_warning():
+    """Config.from_dict consumes coarse.{tolerance,max_iterations,params.*}
+    and smoother.eig_cg_n_iterations, and warns on unknown keys."""
+    import warnings
+    d = {"max levels": 3,
+         "smoother": {"type": "chebyshev", "degree": 2, "eig_cg_n_iterations": 12},
+         "coarse": {"type": "ml", "tolerance": 1e-8, "max_iterations": 55,
+                    "params": {"smoother: sweeps": 3}},
+         "eigensolver": {"type": "lanczos", "tolerance": 1e-2}}
+    cfg = Config.from_dict(d)
+    assert cfg.coarse.type == "ml"
+    assert cfg.coarse.tolerance == 1e-8
+    assert cfg.coarse.max_iterations == 55
+    assert cfg.coarse.params == {"smoother: sweeps": 3}
+    assert cfg.smoother.eig_cg_n_iterations == 12
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        Config.from_dict({"smoother": {"typo_key": 1}})
+    assert any("typo_key" in str(w.message) for w in rec)
