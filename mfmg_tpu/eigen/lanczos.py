@@ -228,10 +228,16 @@ def batched_lanczos_smallest(batch, eig_cfg, constrained_mode: str = "pin"):
     the reference's convergence schedule + CW filter over the stored
     tridiagonal coefficients (tiny).
 
+    Deflated multi-cycle mode (is_deflated / num_cycles /
+    num_eigenpairs_per_cycle, lanczos.templates.hpp:83-176): each cycle runs
+    the batched scan against the deflated operator (I - V Vᵀ)A — the
+    deflation basis rides the scan as one extra batched projection — with
+    the reference's re-seeded initial guess, and converged vectors join V by
+    batched modified Gram-Schmidt between cycles.
+
     Returns (evals (n_agg, n_ev), evecs (n_agg, m_max, n_ev)) like
     batched_smallest_eigenpairs.
     """
-    import jax
     import jax.numpy as jnp
     from mfmg_tpu.eigen.batched_eigh import CONSTRAINED_DIAG
 
@@ -240,7 +246,9 @@ def batched_lanczos_smallest(batch, eig_cfg, constrained_mode: str = "pin"):
     n_agg, m_max = batch.dof_map.shape
 
     # Build the (mode-dependent) batched operator exactly as batched_eigh does.
-    M = batch.A_agg.copy()
+    M = batch.A_agg.astype(np.float64)
+    if M is batch.A_agg:
+        M = M.copy()
     ar = np.arange(m_max)
     if constrained_mode == "pin":
         shifts = (batch.diag * batch.valid).sum(axis=1) / batch.sizes
@@ -254,6 +262,12 @@ def batched_lanczos_smallest(batch, eig_cfg, constrained_mode: str = "pin"):
     di = np.where(~batch.valid, pad_value, di)
     M[:, ar, ar] = di
 
+    if eig_cfg.is_deflated:
+        n_cycles = max(1, eig_cfg.num_cycles)
+        per_cycle = eig_cfg.num_eigenpairs_per_cycle or n_ev
+    else:
+        n_cycles, per_cycle = 1, n_ev
+
     # The Krylov space of agglomerate g has dimension sizes[g] (padding dims
     # are decoupled and never entered: the initial guess is zero there).
     maxit = int(min(eig_cfg.max_iterations, batch.sizes.min()))
@@ -261,18 +275,65 @@ def batched_lanczos_smallest(batch, eig_cfg, constrained_mode: str = "pin"):
     # Initial guess: uniform random, zero at constrained dofs & padding
     # (dealii_mesh_evaluator.cc:43-55 semantics).
     rng = np.random.default_rng(0)
-    v0 = rng.uniform(0.0, 1.0, size=(n_agg, m_max))
+    base_guess = rng.uniform(0.0, 1.0, size=(n_agg, m_max))
     mask = batch.valid & ~batch.constrained
-    v0 = np.where(mask, v0, 0.0)
+    base_guess = np.where(mask, base_guess, 0.0)
 
     Mj = jnp.asarray(M)
-    v0j = jnp.asarray(v0)
+    all_evals = []                 # per cycle: (n_agg, per_cycle)
+    all_evecs = []                 # per cycle: (n_agg, m_max, per_cycle)
+    V = np.zeros((n_agg, m_max, 0))
+    for cycle in range(n_cycles):
+        if cycle == 0:
+            guess = base_guess
+        else:
+            # re-seed: entries scaled by (1 + uniform), zeros stay zero
+            # (lanczos.templates.hpp:36-49)
+            g = np.random.default_rng(cycle)
+            guess = (1.0 + g.uniform(0.0, 1.0, size=(n_agg, m_max))) * base_guess
+        if V.shape[2]:
+            guess = guess - np.einsum("gmk,gk->gm", V,
+                                      np.einsum("gmk,gm->gk", V, guess))
+        ev_c, vec_c = _batched_lanczos_cycle(
+            Mj, V if V.shape[2] else None, guess, per_cycle, maxit,
+            eig_cfg.percent_overshoot, tol, shifts, batch)
+        all_evals.append(ev_c)
+        all_evecs.append(vec_c)
+        if cycle != n_cycles - 1:
+            V = _batched_add_deflation(V, vec_c)
+
+    evals_cat = np.concatenate(all_evals, axis=1)          # (n_agg, total)
+    evecs_cat = np.concatenate(all_evecs, axis=2)
+    order = np.argsort(evals_cat, axis=1, kind="stable")[:, :n_ev]
+    evals_out = np.take_along_axis(evals_cat, order, axis=1)
+    evecs_out = np.take_along_axis(evecs_cat, order[:, None, :], axis=2)
+    # normalize (Ritz vectors have unit norm up to roundoff already)
+    nrm = np.linalg.norm(evecs_out, axis=1, keepdims=True)
+    evecs_out = np.where(nrm > 0, evecs_out / np.where(nrm == 0, 1, nrm), evecs_out)
+    evecs_out = evecs_out * batch.valid[:, :, None]
+    return evals_out, evecs_out
+
+
+def _batched_lanczos_cycle(Mj, V, guess, per_cycle, maxit, percent_overshoot,
+                           tol, shifts, batch):
+    """One batched Lanczos pass against (I - V Vᵀ) A (V may be None)."""
+    import jax
+    import jax.numpy as jnp
+
+    n_agg, m_max = guess.shape
+    v0j = jnp.asarray(guess)
     beta0 = jnp.linalg.norm(v0j, axis=1)
+    Vj = jnp.asarray(V) if V is not None else None
 
     def step(carry, _):
         v_curr, v_prev, beta = carry
         v_norm = v_curr / beta[:, None]
         w = jnp.einsum("gij,gj->gi", Mj, v_norm)
+        if Vj is not None:
+            # deflated operator: project converged directions out of the
+            # output (lanczos_deflatedop.templates.hpp:31-46)
+            w = w - jnp.einsum("gmk,gk->gm", Vj,
+                               jnp.einsum("gmk,gm->gk", Vj, w))
         w = w - beta[:, None] * v_prev
         alpha = jnp.einsum("gi,gi->g", v_norm, w)
         w = w - alpha[:, None] * v_norm
@@ -290,13 +351,13 @@ def batched_lanczos_smallest(batch, eig_cfg, constrained_mode: str = "pin"):
     vs = np.transpose(np.asarray(vs), (1, 0, 2))  # (n_agg, maxit, m)
 
     # Host replay of the reference's stopping schedule per agglomerate.
-    checks = check_schedule(maxit, eig_cfg.percent_overshoot)
-    evals_out = np.empty((n_agg, n_ev))
-    evecs_out = np.zeros((n_agg, m_max, n_ev))
+    checks = check_schedule(maxit, percent_overshoot)
+    evals_out = np.empty((n_agg, per_cycle))
+    evecs_out = np.zeros((n_agg, m_max, per_cycle))
     for g in range(n_agg):
         done = False
         for it in checks:
-            w_, v_ = tridiag_eigenpairs_cw(alphas[g, :it], betas[g, :it - 1], n_ev)
+            w_, v_ = tridiag_eigenpairs_cw(alphas[g, :it], betas[g, :it - 1], per_cycle)
             if w_ is not None and (_check_convergence(betas[g, it - 1], v_, tol)
                                    or it == checks[-1]):
                 evals_out[g] = w_ - shifts[g]
@@ -304,12 +365,27 @@ def batched_lanczos_smallest(batch, eig_cfg, constrained_mode: str = "pin"):
                 done = True
                 break
         if not done:
-            w_, v_ = tridiag_eigenpairs_cw(alphas[g], betas[g, :-1], n_ev)
+            w_, v_ = tridiag_eigenpairs_cw(alphas[g], betas[g, :-1], per_cycle)
             assert w_ is not None, f"agglomerate {g}: Lanczos produced too few eigenpairs"
             evals_out[g] = w_ - shifts[g]
             evecs_out[g] = vs[g].transpose(1, 0) @ v_
-    # normalize (Ritz vectors have unit norm up to roundoff already)
-    nrm = np.linalg.norm(evecs_out, axis=1, keepdims=True)
-    evecs_out = np.where(nrm > 0, evecs_out / np.where(nrm == 0, 1, nrm), evecs_out)
-    evecs_out *= batch.valid[:, :, None]
     return evals_out, evecs_out
+
+
+def _batched_add_deflation(V, new_vecs):
+    """Batched modified Gram-Schmidt insertion of new deflation vectors
+    (lanczos_deflatedop.templates.hpp:57-117); vectors that collapse to zero
+    are kept as zero columns (they then deflate nothing — harmless)."""
+    cols = [V]
+    Vcur = V
+    for j in range(new_vecs.shape[2]):
+        w = new_vecs[:, :, j].copy()
+        for _ in range(2):                     # MGS twice for stability
+            if Vcur.shape[2]:
+                w = w - np.einsum("gmk,gk->gm", Vcur,
+                                  np.einsum("gmk,gm->gk", Vcur, w))
+        nrm = np.linalg.norm(w, axis=1, keepdims=True)
+        w = np.where(nrm > 1e-14, w / np.where(nrm == 0, 1, nrm), 0.0)
+        cols.append(w[:, :, None])
+        Vcur = np.concatenate(cols, axis=2)
+    return Vcur

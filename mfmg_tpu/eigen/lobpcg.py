@@ -39,18 +39,27 @@ def _build_batched_operator(batch, constrained_mode):
 
 def batched_lobpcg_smallest(batch, eig_cfg, constrained_mode: str = "pin",
                             initial_guess: np.ndarray | None = None,
-                            max_iterations: int = 100):
+                            max_iterations: int | None = None):
     """Smallest eigenpairs of every agglomerate via one batched LOBPCG.
 
     initial_guess: optional (n_agg, m_max, n_ev) warm start (the reference's
     use_initial_guess path reusing the previous setup's eigenvectors).
     Returns (evals (n_agg, n_ev), evecs (n_agg, m_max, n_ev)).
+
+    Tolerance and iteration cap come from the eigensolver config (the
+    Anasazi adapter's non-relative user tolerance and max_iterations,
+    anasazi.templates.hpp:36-105) — with a floor of 1e-8 on the tolerance:
+    the batched float iteration cannot meaningfully resolve residuals below
+    roundoff of the Rayleigh quotients, where the reference's double-
+    precision Anasazi can (documented deviation).
     """
     import jax
     import jax.numpy as jnp
 
     n_ev = eig_cfg.n_eigenvectors
     tol = max(eig_cfg.tolerance, 1e-8)
+    if max_iterations is None:
+        max_iterations = eig_cfg.max_iterations
     n_agg, m = batch.dof_map.shape
     Mop, shifts = _build_batched_operator(batch, constrained_mode)
     A = jnp.asarray(Mop)
@@ -99,7 +108,7 @@ def batched_lobpcg_smallest(batch, eig_cfg, constrained_mode: str = "pin",
     theta0, X = rayleigh_ritz(X)
     P = jnp.zeros_like(X)
     (X, P, theta), _ = jax.lax.scan(body, (X, P, theta0), None,
-                                    length=min(max_iterations, eig_cfg.max_iterations))
+                                    length=max_iterations)
     evals = np.asarray(theta, dtype=np.float64) - shifts[:, None]
     evecs = np.asarray(X, dtype=np.float64)
     # normalize + zero padding

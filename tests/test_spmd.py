@@ -44,15 +44,31 @@ def test_spmd_vcycle_matches_single_device(setup_3d, n_devices):
 
 
 def test_spmd_vcycle_rate_matches(setup_3d):
-    """Iterated sharded V-cycles converge at the single-device rate."""
+    """Iterated sharded V-cycles converge at the single-device asymptotic
+    rate (the multi-rank analog of the reference's golden-rate runs)."""
     prob, hier, b, x0, ref = setup_3d
+    op = hier.levels[0].op
+
+    def measure(step, x):
+        res_prev = rate = None
+        for _ in range(12):
+            x = step(x)
+            res = float(jnp.linalg.norm(apply_op(op, jnp.asarray(x))))
+            if res_prev:
+                rate = res / res_prev
+            nrm = float(np.linalg.norm(np.asarray(x)))
+            x, res_prev = np.asarray(x) / nrm, res / nrm
+        return rate
+
+    zero = jnp.zeros_like(jnp.asarray(b))
+    rate_single = measure(
+        lambda x: ref_vcycle(hier.levels, zero, jnp.asarray(x),
+                             n_smoothing_steps=1, is_preconditioner=False), x0)
+
     sv = build_spmd_vcycle(hier, n_devices=4)
     bg = sv.to_grid(np.zeros_like(b))
-    xg = sv.to_grid(x0)
-    prev = None
-    for i in range(10):
-        xg = sv.fn(bg, xg)
-    assert np.all(np.isfinite(np.asarray(xg)))
+    rate_spmd = measure(lambda x: sv.from_grid(sv.fn(bg, sv.to_grid(x))), x0)
+    assert rate_spmd == pytest.approx(rate_single, rel=1e-8), (rate_spmd, rate_single)
 
 
 def test_gspmd_row_sharded_matches(setup_3d):
