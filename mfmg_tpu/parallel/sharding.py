@@ -45,10 +45,13 @@ def _pad_rows(arr, n_pad: int, fill=0):
 
 
 def shard_vector(mesh: Mesh, v, n_pad: int | None = None):
-    """Pad a fine-level vector to the sharded size and place it row-sharded."""
+    """Pad a fine-level vector to the sharded size and place it row-sharded
+    (over ALL mesh axes — a (host, device) 2-axis mesh shards rows over the
+    flattened device grid, the DCN x ICI layout)."""
     v = jnp.asarray(v)
     n_pad = n_pad or padded_size(v.shape[0], mesh)
-    return jax.device_put(_pad_rows(v, n_pad), NamedSharding(mesh, P("x")))
+    return jax.device_put(_pad_rows(v, n_pad),
+                          NamedSharding(mesh, P(mesh.axis_names)))
 
 
 def unpad_vector(v, n: int):
@@ -57,7 +60,7 @@ def unpad_vector(v, n: int):
 
 def _row_shard(mesh: Mesh, arr, n_pad: int, fill=0):
     arr = _pad_rows(jnp.asarray(arr), n_pad, fill)
-    spec = P(*(("x",) + (None,) * (arr.ndim - 1)))
+    spec = P(*((mesh.axis_names,) + (None,) * (arr.ndim - 1)))
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 

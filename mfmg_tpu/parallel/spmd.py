@@ -162,17 +162,10 @@ def build_spmd_vcycle(hier, n_devices: int | None = None, devices=None) -> SpmdV
         # real agglomerates only, (a_slab, ..., e) flat order
         return jnp.moveaxis(full[:, :naz], 0, -1).reshape(-1)
 
-    # ------------------------------------------------- prolongation = R^T --
-    def _restrict_lin(x):
-        return restrict_fn(W_pad, x)
-
-    restrict_T = jax.linear_transpose(
-        _restrict_lin, jax.ShapeDtypeStruct((gz_pad,) + rest_grid, dtype))
-
-    @jax.jit
-    def prolong_fn(xc):
-        (y,) = restrict_T(xc)
-        return y
+    # Prolongation = R^T is generated inside vcycle_fn via linear_transpose
+    # of the sharded restriction with W as a traced ARGUMENT — closing over
+    # W_pad would embed a constant that, under jax.distributed, can span
+    # non-addressable devices (multi-process jit forbids that).
 
     # ------------------------------------------------------------ smoother --
     if isinstance(sm, ChebyshevSmoother):
@@ -210,6 +203,9 @@ def build_spmd_vcycle(hier, n_devices: int | None = None, devices=None) -> SpmdV
     @jax.jit
     def vcycle_fn(coeffs, W, rest, b, x):
         from mfmg_tpu.amge.hierarchy import _cycle
+        restrict_T = jax.linear_transpose(
+            lambda v: restrict_fn(W, v),
+            jax.ShapeDtypeStruct((gz_pad,) + rest_grid, dtype))
         for _ in range(n_smooth):
             x = smooth(coeffs, b, x)
         res = apply_fn(coeffs, x) - b
@@ -219,7 +215,8 @@ def build_spmd_vcycle(hier, n_devices: int | None = None, devices=None) -> SpmdV
         else:
             # coarser AMGe levels, replicated on every device
             xc = _cycle(rest, bc, jnp.zeros_like(bc), 0, n_smooth, cycle_type)
-        x = x - prolong_fn(xc)
+        (corr,) = restrict_T(xc)
+        x = x - corr
         for _ in range(n_smooth):
             x = smooth(coeffs, b, x)
         return x

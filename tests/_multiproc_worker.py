@@ -1,0 +1,76 @@
+"""Worker for the multi-process jax.distributed test (not a pytest module).
+
+Usage: python _multiproc_worker.py <process_id> <num_processes> <port> <local_devices>
+
+Each process contributes `local_devices` virtual CPU devices to the global
+mesh — the analog of one MPI rank in the reference's 1/2/4-rank test registry
+(tests/CMakeLists.txt:8-57).  Every process builds the identical problem,
+runs the slab-sharded V-cycle over the GLOBAL device mesh, and checks its own
+addressable output shards against the locally computed single-device result.
+Prints MULTIPROC-OK on success.
+"""
+
+import os
+import sys
+
+
+def main():
+    pid, nproc, port, local = (int(sys.argv[1]), int(sys.argv[2]),
+                               sys.argv[3], int(sys.argv[4]))
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local}")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+    n_devices = len(jax.devices())
+    assert n_devices == nproc * local
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from mfmg_tpu import Config, Hierarchy, LaplaceProblem
+    from mfmg_tpu.amge.hierarchy import vcycle as ref_vcycle
+    from mfmg_tpu.config import AgglomerationConfig, SmootherConfig
+    from mfmg_tpu.parallel.spmd import build_spmd_vcycle
+
+    prob = LaplaceProblem.hyper_cube(3, 3, material_property="linear")
+    cfg = Config(operator="stencil", dtype="float64", is_preconditioner=False,
+                 smoother=SmootherConfig(type="chebyshev", degree=2),
+                 agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2))
+    hier = Hierarchy(prob, cfg)
+
+    rng = np.random.default_rng(0)
+    b = rng.uniform(size=prob.n_dofs)
+    b[prob.constrained] = 0.0
+    x0 = rng.uniform(size=prob.n_dofs)
+    x0[prob.constrained] = 0.0
+
+    # single-device reference, computed identically on every process (pinned
+    # to one local device — a bare jit here would produce global arrays)
+    with jax.default_device(jax.local_devices()[0]):
+        ref = np.asarray(ref_vcycle(hier.levels, jnp.asarray(b), jnp.asarray(x0),
+                                    n_smoothing_steps=1, is_preconditioner=False))
+
+    sv = build_spmd_vcycle(hier, devices=np.array(jax.devices()))
+    out = sv.fn(sv.to_grid(b), sv.to_grid(x0))
+    jax.block_until_ready(out)
+
+    ref_grid = np.zeros(sv.grid_shape)
+    ref_grid[: sv.orig_grid[0]] = ref.reshape(sv.orig_grid)
+    tol = 1e-13 * max(1.0, np.abs(ref).max())
+    for shard in out.addressable_shards:
+        expect = ref_grid[shard.index]
+        got = np.asarray(shard.data)
+        err = np.abs(got - expect).max()
+        assert err <= tol, (pid, shard.index, err)
+
+    print(f"MULTIPROC-OK pid={pid}/{nproc} devices={n_devices}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
