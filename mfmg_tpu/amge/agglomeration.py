@@ -24,6 +24,14 @@ def build_agglomerates(mesh: Mesh, agg_cfg) -> np.ndarray:
     """Returns (n_cells,) agglomerate ids in [0, n_agg)."""
     if agg_cfg.partitioner == "block":
         return build_agglomerates_block(mesh, agg_cfg.block_dims(mesh.dim))
+    if agg_cfg.partitioner == "block_dealii":
+        # The reference walk with deal.II's cell iteration (Morton) seed
+        # order — reproduces the literal agglomerate-id goldens
+        # (test_agglomerate.cc:79-288) bit-for-bit; the *partition* is the
+        # same as "block" whenever block dims divide the mesh evenly.
+        from mfmg_tpu.fem.dealii_order import dealii_cell_order
+        return _block_walk_unstructured(mesh, agg_cfg.block_dims(mesh.dim),
+                                        seed_order=dealii_cell_order(mesh))
     if agg_cfg.partitioner == "metis":
         # true multilevel KL/FM graph partitioning (METIS's scheme)
         from mfmg_tpu.amge.graph_partition import build_agglomerates_multilevel
@@ -90,13 +98,16 @@ def face_neighbors(mesh: Mesh) -> np.ndarray:
     return nbrs
 
 
-def _block_walk_unstructured(mesh: Mesh, block_dims) -> np.ndarray:
+def _block_walk_unstructured(mesh: Mesh, block_dims, seed_order=None) -> np.ndarray:
     """The reference's x->y->z block walk, verbatim semantics
     (amge.templates.hpp:422-494): seed at the first unassigned cell in cell
     order, then walk nx cells through each cell's local x+ face, stepping the
     row start through y+ and the plane start through z+.  Cells are
     (re)marked unconditionally during a walk, exactly like the reference's
-    set_user_index."""
+    set_user_index.
+
+    seed_order: optional cell iteration order for seeding (deal.II Morton
+    order for golden parity); default is our natural cell order."""
     dim = mesh.dim
     nbrs = face_neighbors(mesh)
     X_P, Y_P, Z_P = 1, 3, 5                     # local face ids (x+, y+, z+)
@@ -104,7 +115,9 @@ def _block_walk_unstructured(mesh: Mesh, block_dims) -> np.ndarray:
     agg = np.zeros(n_cells, dtype=np.int64)     # 0 = unassigned (reference convention)
     current = 0
     d3 = block_dims[2] if dim == 3 else 1
-    for c0 in range(n_cells):
+    if seed_order is None:
+        seed_order = range(n_cells)
+    for c0 in seed_order:
         if agg[c0] != 0:
             continue
         current += 1

@@ -63,6 +63,17 @@ class SmootherConfig:
     """
 
     type: str = "jacobi"
+    # Gauss-Seidel ordering: "multicolor" (TPU-native parallel sweeps, the
+    # production choice) or "lexicographic" (the reference's sequential
+    # Trilinos SOR/SSOR semantics, dealii_smoother.cc:38-52, realized as
+    # dense triangular solves — the golden-rate parity oracle, O(n^2) memory,
+    # capped at small n).
+    coloring: str = "multicolor"
+    # Sweep ordering for coloring="lexicographic": "natural" (our x-fastest
+    # dof numbering) or "dealii" (the reference's DoFHandler numbering via
+    # fem/dealii_order.py — required to reproduce the sequential-GS golden
+    # rates bit-for-bit, test_hierarchy.cc:343-356).
+    ordering: str = "natural"
     n_smoothing_steps: int = 1
     degree: int = 1
     smoothing_range: float = 0.0
@@ -174,6 +185,8 @@ class Config:
         s = d.get("smoother", {})
         cfg.smoother = SmootherConfig(
             type=s.get("type", cfg.smoother.type).strip().lower(),
+            coloring=s.get("coloring", "multicolor").strip().lower(),
+            ordering=s.get("ordering", "natural").strip().lower(),
             n_smoothing_steps=int(s.get("n_smoothing_steps", 1)),
             degree=int(s.get("degree", 1)),
             smoothing_range=float(s.get("smoothing_range", 0.0)),
@@ -208,7 +221,8 @@ class Config:
                             "is_deflated", "num_cycles",
                             "num_eigenpairs_per_cycle", "use_initial_guess",
                             "full_ortho", "backend", "constrained_mode"},
-            "smoother": {"type", "n_smoothing_steps", "degree",
+            "smoother": {"type", "coloring", "ordering",
+                         "n_smoothing_steps", "degree",
                          "smoothing_range", "max_eigenvalue",
                          "eig_cg_n_iterations", "jacobi_omega"},
             "coarse": {"type", "tolerance", "max_iterations", "max levels",

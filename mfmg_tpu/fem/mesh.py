@@ -71,12 +71,16 @@ def hyper_ball(dim: int, n_refinements: int, degree: int = 1,
         verts, cells_v = refine_ball(verts, cells_v, radius)
     mesh = from_cell_complex(verts, cells_v, degree)
     if distort_random:
+        # deal.II distort_random semantics (see structured_cube): exact-length
+        # shift factor * (shortest adjacent edge) in a random direction.  The
+        # per-vertex shortest adjacent edge is approximated by the cell-min
+        # first-edge length over cells touching the vertex.
         rng = np.random.default_rng(seed)
-        # shortest first-edge length as the distortion scale (GridTools::
-        # distort_random uses the shortest adjacent edge per vertex)
         edge = np.linalg.norm(mesh.nodes[mesh.cells[:, 1]] - mesh.nodes[mesh.cells[:, 0]], axis=1)
         h_min = edge.min()
-        shift = rng.uniform(-1.0, 1.0, size=mesh.nodes.shape) * distort_factor * h_min
+        shift = rng.uniform(-1.0, 1.0, size=mesh.nodes.shape)
+        norm = np.linalg.norm(shift, axis=1, keepdims=True)
+        shift *= distort_factor * h_min / np.where(norm > 0, norm, 1.0)
         mesh.nodes = mesh.nodes + (~mesh.boundary_dofs)[:, None] * shift
     return mesh
 
@@ -214,11 +218,16 @@ def structured_cube(dim: int, cells_per_dim: tuple, degree: int = 1,
         tmp //= n1[d]
 
     if distort_random:
+        # deal.II GridTools::distort_random semantics: every interior vertex
+        # moves by EXACTLY factor * (shortest adjacent edge) in a random
+        # direction (uniform in [-1,1]^dim, then normalized).  The RNG stream
+        # differs from deal.II's boost::mt19937, so distorted meshes are
+        # statistically, not bitwise, equivalent.
         rng = np.random.default_rng(seed)
-        # shortest adjacent edge per node ~ min cell width; uniform per-node shift
         h_min = min(lengths[d] / nc[d] for d in range(dim))
         shift = rng.uniform(-1.0, 1.0, size=nodes.shape)
-        shift *= distort_factor * h_min
+        norm = np.linalg.norm(shift, axis=1, keepdims=True)
+        shift *= distort_factor * h_min / np.where(norm > 0, norm, 1.0)
         movable = ~boundary
         nodes = nodes + movable[:, None] * shift
 

@@ -75,6 +75,43 @@ class MulticolorGSSmoother:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class LexicographicGSSmoother:
+    """Sequential (lexicographic) Gauss-Seidel / symmetric Gauss-Seidel with
+    the reference's exact Trilinos semantics (dealii_smoother.cc:38-52):
+    "gauss-seidel" = PreconditionSOR, one forward sweep from zero,
+    B^{-1} = (D+L)^{-1}; "symmetric gauss-seidel" = PreconditionSSOR
+    (Ifpack point relaxation, forward then backward sweep from zero),
+    B^{-1} = (D+U)^{-1} D (D+L)^{-1}.
+
+    Lexicographic sweeps are inherently sequential, so this variant keeps the
+    triangular factors DENSE and solves them on device — O(n^2) memory, meant
+    as the golden-rate parity oracle on the reference's small test meshes
+    (SmootherConfig.coloring == "lexicographic").  Production smoothing uses
+    MulticolorGSSmoother.
+    """
+
+    L: jax.Array                          # D + strict lower, dense
+    U: object = None                      # D + strict upper (symmetric only)
+    diag: object = None                   # D (symmetric only)
+    perm: object = None                   # sweep order (dealii parity); None = natural
+    iperm: object = None
+    symmetric: bool = dataclasses.field(metadata=dict(static=True), default=False)
+
+    def apply(self, op, b, x):
+        r = apply_op(op, x) - b           # negative residual
+        if self.perm is not None:
+            r = r[self.perm]
+        y = jax.scipy.linalg.solve_triangular(self.L, r, lower=True)
+        if self.symmetric:
+            y = jax.scipy.linalg.solve_triangular(self.U, self.diag * y,
+                                                  lower=False)
+        if self.perm is not None:
+            y = y[self.iperm]
+        return x - y
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class ChebyshevSmoother:
     inv_diag: jax.Array
     theta: jax.Array          # (lmax + lmin) / 2 of D^{-1}A interval
@@ -299,10 +336,39 @@ def build_smoother(op, smoother_cfg, dtype=jnp.float64, A_scipy=None,
     if stype in ("jacobi",):
         return JacobiSmoother(inv_diag=inv_diag, omega=smoother_cfg.jacobi_omega)
     if stype in ("gauss-seidel", "symmetric gauss-seidel", "sgs", "gs"):
+        symmetric = stype in ("symmetric gauss-seidel", "sgs")
+        if smoother_cfg.coloring == "lexicographic":
+            if A_scipy is None:
+                raise ValueError(
+                    "lexicographic Gauss-Seidel needs the assembled matrix "
+                    "(operator='ell' path); use coloring='multicolor' on "
+                    "matrix-free paths")
+            n = A_scipy.shape[0]
+            if n > 8192:
+                raise ValueError(
+                    f"lexicographic Gauss-Seidel stores dense triangular "
+                    f"factors (n={n} > 8192); it is the golden-rate parity "
+                    f"oracle — use coloring='multicolor' at scale")
+            A_d = np.asarray(A_scipy.todense(), dtype=np.float64)
+            perm = iperm = None
+            if smoother_cfg.ordering == "dealii":
+                if problem is None:
+                    raise ValueError("ordering='dealii' needs the mesh "
+                                     "(available on the finest level only)")
+                from mfmg_tpu.fem.dealii_order import dealii_dof_numbering
+                p = np.argsort(dealii_dof_numbering(problem.mesh))
+                A_d = A_d[np.ix_(p, p)]
+                perm = jnp.asarray(p, dtype=jnp.int32)
+                iperm = jnp.asarray(np.argsort(p), dtype=jnp.int32)
+            L = jnp.asarray(np.tril(A_d), dtype=dtype)
+            U = jnp.asarray(np.triu(A_d), dtype=dtype) if symmetric else None
+            d = jnp.asarray(np.diag(A_d), dtype=dtype) if symmetric else None
+            return LexicographicGSSmoother(L=L, U=U, diag=d, perm=perm,
+                                           iperm=iperm, symmetric=symmetric)
         colors, n_colors = _color_operator(op)
         return MulticolorGSSmoother(inv_diag=inv_diag, colors=colors,
                                     n_colors=n_colors,
-                                    symmetric=stype in ("symmetric gauss-seidel", "sgs"))
+                                    symmetric=symmetric)
     if stype == "chebyshev":
         if smoother_cfg.max_eigenvalue is not None:
             lmax = float(smoother_cfg.max_eigenvalue)
