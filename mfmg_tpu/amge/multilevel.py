@@ -316,6 +316,10 @@ def galerkin_product_from_blocks(blocks: AggBlocks, n_rows: int) -> sp.csr_matri
     cj = np.broadcast_to(blocks.arows[:, None, :], blocks.K.shape)[vij]
     A = sp.csr_matrix((blocks.K[vij], (ri, cj)), shape=(n_rows, n_rows))
     A.sum_duplicates()
+    # Padded patch-row pairs that share no cell produce exact structural
+    # zeros; drop them so the pattern matches a true SpGEMM R·A·Rᵀ (and the
+    # coarse graph stays within the block-stencil ±1 window).
+    A.eliminate_zeros()
     return A
 
 

@@ -298,6 +298,105 @@ def estimate_extreme_eigenvalues_cells(cells, A_loc, constrained, diag_raw,
     return _host_lanczos_interval(apply_fn, diag_raw, n, n_iter, seed)
 
 
+def dealii_cg_eigenvalue_estimate(apply_fn, diag, n, n_iter: int = 8):
+    """deal.II PreconditionChebyshev::estimate_eigenvalues parity.
+
+    The reference never sets smoother.max_eigenvalue (dealii_matrix_free_
+    smoother.cc:36-56), so deal.II estimates the Chebyshev window with exactly
+    eig_cg_n_iterations (default 8) preconditioned-CG iterations, M = D^{-1},
+    x0 = 0, rhs v_i = (i % 11) - mean(v) (set_initial_guess for
+    LinearAlgebra::distributed::Vector), and reads the Ritz values off the CG
+    tridiagonal: diag_k = 1/alpha_k + beta_{k-1}/alpha_{k-1},
+    offdiag_k = sqrt(beta_k)/alpha_k (deal.II solver_cg.h eigenvalue slot).
+    An under-converged 8-step estimate is part of the reference's observable
+    behavior — the golden rates depend on it (e.g. hyper_ball MF 0.2981...).
+    """
+    v = np.arange(n, dtype=np.float64) % 11.0
+    v -= v.mean()
+    inv_diag = 1.0 / np.where(diag != 0, diag, 1.0)
+    r = v.copy()
+    z = inv_diag * r
+    p = z.copy()
+    rz = r @ z
+    alphas, betas = [], []
+    for _ in range(min(n_iter, n)):
+        Ap = apply_fn(p)
+        pAp = p @ Ap
+        if pAp <= 0.0:
+            break
+        alpha = rz / pAp
+        alphas.append(alpha)
+        r = r - alpha * Ap
+        z = inv_diag * r
+        rz_new = r @ z
+        if rz_new <= 1e-300:
+            break
+        betas.append(rz_new / rz)
+        p = z + (rz_new / rz) * p
+        rz = rz_new
+    m = len(alphas)
+    if m == 0:
+        return 1.0, 1.0
+    T_diag = np.empty(m)
+    T_diag[0] = 1.0 / alphas[0]
+    for k in range(1, m):
+        T_diag[k] = 1.0 / alphas[k] + betas[k - 1] / alphas[k - 1]
+    T_off = np.array([np.sqrt(betas[k]) / alphas[k] for k in range(m - 1)])
+    if m == 1:
+        return float(T_diag[0]), float(T_diag[0])
+    import scipy.linalg as sla
+    ev = sla.eigh_tridiagonal(T_diag, T_off, eigvals_only=True)
+    return float(ev[0]), float(ev[-1])
+
+
+def _host_apply_and_diag(op, A_scipy=None, problem=None):
+    """(apply_fn, diag) on the host for the operator actually smoothed —
+    assembled CSR, stencil coefficients, or raw cell matrices (matrix-free
+    setup: the global matrix is never formed)."""
+    from mfmg_tpu.ops.stencil import StencilOperator
+
+    if A_scipy is not None:
+        return (lambda x: A_scipy @ x), np.asarray(A_scipy.diagonal())
+    if isinstance(op, StencilOperator):
+        coeffs = np.asarray(op.coeffs, dtype=np.float64)
+        grid_shape, offsets = op.grid_shape, op.offsets
+        k = max(max(abs(o) for o in off) for off in offsets)
+        center = [i for i, off in enumerate(offsets) if not any(off)]
+        n = int(np.prod(grid_shape))
+        diag = coeffs[center[0]].reshape(-1) if center else np.ones(n)
+
+        def apply_fn(x):
+            xp = np.pad(x.reshape(grid_shape), k)
+            y = np.zeros(grid_shape)
+            for i, off in enumerate(offsets):
+                sl = tuple(slice(k + o, k + o + m)
+                           for o, m in zip(off, grid_shape))
+                y += coeffs[i] * xp[sl]
+            return y.reshape(-1)
+
+        return apply_fn, diag
+    if problem is not None:
+        cells = problem.mesh.cells
+        A_loc = problem.A_loc
+        constrained = problem.constrained
+        diag_raw = problem.diag_raw
+        n = diag_raw.shape[0]
+        flat = cells.reshape(-1)
+
+        def apply_fn(v):
+            # deal.II MatrixFreeOperators::Base convention: constrained rows
+            # are identity with value exactly 1 (dst_c = src_c, diagonal 1) —
+            # this enters the CG coefficients (p^T A p) of the eigenvalue
+            # estimate, so it must match bit-for-bit, not just up to D^{-1}.
+            vz = np.where(constrained, 0.0, v)
+            y_loc = np.einsum("cij,cj->ci", A_loc, vz[cells])
+            y = np.bincount(flat, weights=y_loc.reshape(-1), minlength=n)
+            return np.where(constrained, v, y)
+
+        return apply_fn, np.where(constrained, 1.0, diag_raw)
+    return None, None
+
+
 def _host_lanczos_interval(apply_fn, diag, n, n_iter: int, seed: int):
     n_iter = min(n_iter, n)
     sq = 1.0 / np.sqrt(np.where(diag != 0, diag, 1.0))
@@ -374,24 +473,26 @@ def build_smoother(op, smoother_cfg, dtype=jnp.float64, A_scipy=None,
             lmax = float(smoother_cfg.max_eigenvalue)
             lmin_est = lmax / 20.0
         else:
-            n_iter = max(smoother_cfg.eig_cg_n_iterations, 40)
-            from mfmg_tpu.ops.stencil import StencilOperator
-            if A_scipy is not None:
-                lmin_est, lmax_est = estimate_extreme_eigenvalues_host(A_scipy, n_iter=n_iter)
-            elif isinstance(op, StencilOperator):
-                lmin_est, lmax_est = estimate_extreme_eigenvalues_stencil(op, n_iter=n_iter)
-            elif problem is not None:
-                lmin_est, lmax_est = estimate_extreme_eigenvalues_cells(
-                    problem.mesh.cells, problem.A_loc, problem.constrained,
-                    problem.diag_raw, n_iter=n_iter)
+            # deal.II parity: exactly eig_cg_n_iterations (default 8) of
+            # preconditioned CG from the i%11 start vector — an
+            # intentionally under-converged estimate the reference's golden
+            # rates depend on (PreconditionChebyshev::estimate_eigenvalues).
+            n_iter = smoother_cfg.eig_cg_n_iterations
+            apply_fn, diag_h = _host_apply_and_diag(op, A_scipy=A_scipy,
+                                                    problem=problem)
+            if apply_fn is not None:
+                lmin_est, lmax_est = dealii_cg_eigenvalue_estimate(
+                    apply_fn, diag_h, diag_h.shape[0], n_iter=n_iter)
             else:
-                lmin_est, lmax_est = estimate_extreme_eigenvalues(op, inv_diag, n_iter=n_iter)
+                lmin_est, lmax_est = estimate_extreme_eigenvalues(
+                    op, inv_diag, n_iter=max(n_iter, 40))
             lmax = 1.2 * lmax_est          # deal.II safety factor
             lmin_est = max(lmin_est, 1e-12)
         if smoother_cfg.smoothing_range > 1.0:
             lmin = lmax / smoother_cfg.smoothing_range
         else:
-            lmin = lmin_est
+            # deal.II: alpha = min(0.9 * max_estimate, min_estimate)
+            lmin = min(0.9 * lmax / 1.2, lmin_est)
         theta = jnp.asarray((lmax + lmin) / 2.0, dtype=dtype)
         delta = jnp.asarray((lmax - lmin) / 2.0, dtype=dtype)
         return ChebyshevSmoother(inv_diag=inv_diag, theta=theta, delta=delta,
