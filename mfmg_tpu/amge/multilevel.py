@@ -266,30 +266,35 @@ def agg_galerkin_blocks(batch, dof_rows: np.ndarray, dof_vals: np.ndarray,
     """
     n_agg, m = batch.dof_map.shape
     dm = np.where(batch.valid, batch.dof_map, 0)
-    ar = np.where(batch.valid[:, :, None], dof_rows[dm], -1)   # (n_agg, m, q)
     keep = batch.valid & ~batch.constrained if eliminate else batch.valid
-    av = np.where(keep[:, :, None], dof_vals[dm], 0.0)
 
-    # ---- unique rows touching each agglomerate (sorted, global key space) --
-    ok = ar >= 0
-    keys = np.where(ok, np.arange(n_agg, dtype=np.int64)[:, None, None]
-                    * n_rows + ar, -1)
-    agg_keys = np.unique(keys[ok])                         # agg-major sorted
-    key_agg = agg_keys // n_rows
-    t_s = np.bincount(key_agg, minlength=n_agg)
-    offs_a = np.concatenate([[0], np.cumsum(t_s)])
-    t_max = int(t_s.max()) if n_agg else 0
-    arows = np.zeros((n_agg, t_max), dtype=np.int64)
-    within = np.arange(len(agg_keys)) - offs_a[key_agg]
-    arows[key_agg, within] = agg_keys % n_rows
-
-    # dense per-agg R blocks (each (row, dof) pair appears once -> assignment)
-    pos = np.searchsorted(agg_keys, np.where(ok, keys, 0)) - offs_a[
-        np.arange(n_agg)[:, None, None]]
-    ai = np.broadcast_to(np.arange(n_agg)[:, None, None], ar.shape)
-    si = np.broadcast_to(np.arange(m)[None, :, None], ar.shape)
-    Rb = np.zeros((n_agg, t_max, m))
-    Rb[ai[ok], pos[ok], si[ok]] = av[ok]
+    from mfmg_tpu import native
+    nat = native.agg_row_blocks(dm, batch.valid, keep, dof_rows, dof_vals)
+    if nat is not None:
+        arows, t_s, Rb = nat
+        t_max = arows.shape[1]
+    else:
+        # numpy fallback: global-key unique + searchsorted positions
+        ar = np.where(batch.valid[:, :, None], dof_rows[dm], -1)  # (n_agg,m,q)
+        av = np.where(keep[:, :, None], dof_vals[dm], 0.0)
+        ok = ar >= 0
+        keys = np.where(ok, np.arange(n_agg, dtype=np.int64)[:, None, None]
+                        * n_rows + ar, -1)
+        agg_keys = np.unique(keys[ok])                     # agg-major sorted
+        key_agg = agg_keys // n_rows
+        t_s = np.bincount(key_agg, minlength=n_agg)
+        offs_a = np.concatenate([[0], np.cumsum(t_s)])
+        t_max = int(t_s.max()) if n_agg else 0
+        arows = np.zeros((n_agg, t_max), dtype=np.int64)
+        within = np.arange(len(agg_keys)) - offs_a[key_agg]
+        arows[key_agg, within] = agg_keys % n_rows
+        # dense per-agg R blocks ((row, dof) pairs are unique -> assignment)
+        pos = np.searchsorted(agg_keys, np.where(ok, keys, 0)) - offs_a[
+            np.arange(n_agg)[:, None, None]]
+        ai = np.broadcast_to(np.arange(n_agg)[:, None, None], ar.shape)
+        si = np.broadcast_to(np.arange(m)[None, :, None], ar.shape)
+        Rb = np.zeros((n_agg, t_max, m))
+        Rb[ai[ok], pos[ok], si[ok]] = av[ok]
 
     # K in the batch's dtype (float32 batches halve the BLAS-3 time; the
     # Gram/rank-cutoff stage stays float64 via Rb)
@@ -389,9 +394,14 @@ def _super_blocks_per_agg(batch, super_of_agg: np.ndarray,
     s_ok = skeys >= 0
     gpos = np.where(s_ok, np.searchsorted(member_keys, np.where(s_ok, skeys, 0))
                     - offs[G_of][:, None], m1_max)         # (n_agg, t_max)
-    flat = (G_of[:, None, None] * m1p + gpos[:, :, None]) * m1p + gpos[:, None, :]
-    A1 = _batched_scatter(flat, K, n_super * m1p * m1p).reshape(n_super, m1p, m1p)
-    M = _batched_scatter(flat, Mb, n_super * m1p * m1p).reshape(n_super, m1p, m1p)
+    from mfmg_tpu import native
+    nat = native.scatter_super_blocks(G_of, gpos, K, Mb, n_super, m1p)
+    if nat is not None:
+        A1, M = nat
+    else:
+        flat = (G_of[:, None, None] * m1p + gpos[:, :, None]) * m1p + gpos[:, None, :]
+        A1 = _batched_scatter(flat, K, n_super * m1p * m1p).reshape(n_super, m1p, m1p)
+        M = _batched_scatter(flat, Mb, n_super * m1p * m1p).reshape(n_super, m1p, m1p)
     A1 = A1[:, :m1_max, :m1_max]
     M = M[:, :m1_max, :m1_max]
     A1 = 0.5 * (A1 + np.swapaxes(A1, 1, 2))

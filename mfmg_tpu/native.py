@@ -54,6 +54,20 @@ def _load():
             i64, i64, f64, f64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
         lib.ell_pack.argtypes = [i64, i32, f64, f64, i32,
                                  ctypes.c_int64, ctypes.c_int64]
+        u8 = ctypes.POINTER(ctypes.c_uint8)
+        lib.scatter_super_blocks.argtypes = [
+            i64, i64, f32, f64, f64, f64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        lib.scatter_super_blocks_f64.argtypes = [
+            i64, i64, f64, f64, f64, f64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        lib.agg_row_count.argtypes = [
+            i64, u8, i64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64]
+        lib.agg_row_blocks.argtypes = [
+            i64, u8, u8, i64, f64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64, f64]
         _lib = lib
     except Exception as e:                  # pragma: no cover - toolchain issues
         print(f"[mfmg_tpu] native kernels unavailable ({e}); using numpy fallback",
@@ -120,6 +134,67 @@ def assemble_patch(cell_ids, local_cells, A_loc, m):
                        _ptr(A_loc, ctypes.c_double), _ptr(out, ctypes.c_double),
                        len(cell_ids), local_cells.shape[1], m)
     return out
+
+
+def agg_row_blocks(dm, valid, keep, dof_rows, dof_vals):
+    """Per-agglomerate sorted-unique R rows + dense R blocks.
+
+    Returns (arows (n_agg, t_max) int64, t_s (n_agg,) int64,
+    Rb (n_agg, t_max, m) float64) or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    dm = np.ascontiguousarray(dm, dtype=np.int64)
+    valid = np.ascontiguousarray(valid, dtype=np.uint8)
+    keep = np.ascontiguousarray(keep, dtype=np.uint8)
+    dof_rows = np.ascontiguousarray(dof_rows, dtype=np.int64)
+    dof_vals = np.ascontiguousarray(dof_vals, dtype=np.float64)
+    n_agg, m = dm.shape
+    q = dof_rows.shape[1]
+    t_s = np.zeros(n_agg, dtype=np.int64)
+    lib.agg_row_count(_ptr(dm, ctypes.c_int64), _ptr(valid, ctypes.c_uint8),
+                      _ptr(dof_rows, ctypes.c_int64), n_agg, m, q,
+                      _ptr(t_s, ctypes.c_int64))
+    t_max = int(t_s.max()) if n_agg else 0
+    arows = np.zeros((n_agg, t_max), dtype=np.int64)
+    Rb = np.zeros((n_agg, t_max, m))
+    lib.agg_row_blocks(_ptr(dm, ctypes.c_int64), _ptr(valid, ctypes.c_uint8),
+                       _ptr(keep, ctypes.c_uint8),
+                       _ptr(dof_rows, ctypes.c_int64),
+                       _ptr(dof_vals, ctypes.c_double),
+                       n_agg, m, q, t_max,
+                       _ptr(arows, ctypes.c_int64), _ptr(Rb, ctypes.c_double))
+    return arows, t_s, Rb
+
+
+def scatter_super_blocks(g_of, gpos, K, Mb, n_super, m1p):
+    """Fused per-super scatter of Galerkin + Gram blocks.
+
+    Returns (A1, M) of shape (n_super, m1p, m1p) float64, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    g_of = np.ascontiguousarray(g_of, dtype=np.int64)
+    gpos = np.ascontiguousarray(gpos, dtype=np.int64)
+    Mb = np.ascontiguousarray(Mb, dtype=np.float64)
+    n_agg, t_max = gpos.shape
+    A1 = np.zeros((n_super, m1p, m1p))
+    M = np.zeros((n_super, m1p, m1p))
+    if K.dtype == np.float32:
+        K = np.ascontiguousarray(K, dtype=np.float32)
+        lib.scatter_super_blocks(
+            _ptr(g_of, ctypes.c_int64), _ptr(gpos, ctypes.c_int64),
+            _ptr(K, ctypes.c_float), _ptr(Mb, ctypes.c_double),
+            _ptr(A1, ctypes.c_double), _ptr(M, ctypes.c_double),
+            n_agg, t_max, m1p)
+    else:
+        K = np.ascontiguousarray(K, dtype=np.float64)
+        lib.scatter_super_blocks_f64(
+            _ptr(g_of, ctypes.c_int64), _ptr(gpos, ctypes.c_int64),
+            _ptr(K, ctypes.c_double), _ptr(Mb, ctypes.c_double),
+            _ptr(A1, ctypes.c_double), _ptr(M, ctypes.c_double),
+            n_agg, t_max, m1p)
+    return A1, M
 
 
 def ell_pack(indptr, indices, data, n_rows, L):

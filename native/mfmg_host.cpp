@@ -10,6 +10,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC mfmg_host.cpp -o libmfmg_host.so
 // Loaded via ctypes (mfmg_tpu/native.py) with transparent numpy fallback.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -145,6 +146,137 @@ void assemble_patch(
       const double* src = Ac + i * n_loc;
       for (int64_t j = 0; j < n_loc; ++j)
         row[lc[j]] += src[j];
+    }
+  }
+}
+
+// Per-agglomerate restriction row structure: t_s[a] = number of distinct
+// R rows touching agglomerate a's dofs.  dof_rows (n_dofs_padded? no —
+// indexed through dm) is the padded per-dof row list (-1 padding), q wide.
+void agg_row_count(
+    const int64_t* dm,              // (n_agg, m) global dof of each slot
+    const uint8_t* valid,           // (n_agg, m)
+    const int64_t* dof_rows,        // (n_dofs, q), -1 padded
+    int64_t n_agg, int64_t m, int64_t q,
+    int64_t* t_s)                   // (n_agg,) out
+{
+  parallel_ranges(n_agg, [=](int64_t lo, int64_t hi) {
+    std::vector<int64_t> buf;
+    buf.reserve((size_t)(m * q));
+    for (int64_t a = lo; a < hi; ++a) {
+      buf.clear();
+      for (int64_t i = 0; i < m; ++i) {
+        if (!valid[a * m + i]) continue;
+        const int64_t* rr = dof_rows + dm[a * m + i] * q;
+        for (int64_t k = 0; k < q; ++k)
+          if (rr[k] >= 0) buf.push_back(rr[k]);
+      }
+      std::sort(buf.begin(), buf.end());
+      t_s[a] = (int64_t)(std::unique(buf.begin(), buf.end()) - buf.begin());
+    }
+  });
+}
+
+// Fill arows (sorted unique rows, padded to t_max) and the dense block
+// Rb[a, t, i] = R[arows[a,t], dof i] (0 where the dof is masked out by
+// `keep` — the recursive level zeroes constrained dofs' values while the
+// row still counts structurally).  The scatter replaces the numpy
+// gather/broadcast/searchsorted pipeline (measured 1.8 s -> ~0.1 s at
+// 4096x125x16).
+void agg_row_blocks(
+    const int64_t* dm,              // (n_agg, m)
+    const uint8_t* valid,           // (n_agg, m)
+    const uint8_t* keep,            // (n_agg, m) value mask
+    const int64_t* dof_rows,        // (n_dofs, q)
+    const double* dof_vals,         // (n_dofs, q)
+    int64_t n_agg, int64_t m, int64_t q, int64_t t_max,
+    int64_t* arows,                 // (n_agg, t_max), zero-initialized
+    double* Rb)                     // (n_agg, t_max, m), zero-initialized
+{
+  parallel_ranges(n_agg, [=](int64_t lo, int64_t hi) {
+    std::vector<int64_t> buf;
+    buf.reserve((size_t)(m * q));
+    for (int64_t a = lo; a < hi; ++a) {
+      buf.clear();
+      for (int64_t i = 0; i < m; ++i) {
+        if (!valid[a * m + i]) continue;
+        const int64_t* rr = dof_rows + dm[a * m + i] * q;
+        for (int64_t k = 0; k < q; ++k)
+          if (rr[k] >= 0) buf.push_back(rr[k]);
+      }
+      std::sort(buf.begin(), buf.end());
+      const int64_t t = (int64_t)(std::unique(buf.begin(), buf.end()) - buf.begin());
+      int64_t* ar = arows + a * t_max;
+      for (int64_t j = 0; j < t; ++j) ar[j] = buf[j];
+      double* R = Rb + a * t_max * m;
+      for (int64_t i = 0; i < m; ++i) {
+        if (!valid[a * m + i] || !keep[a * m + i]) continue;
+        const int64_t d = dm[a * m + i];
+        const int64_t* rr = dof_rows + d * q;
+        const double* rv = dof_vals + d * q;
+        for (int64_t k = 0; k < q; ++k) {
+          if (rr[k] < 0) continue;
+          const int64_t pos =
+              std::lower_bound(buf.begin(), buf.begin() + t, rr[k]) - buf.begin();
+          R[pos * m + i] = rv[k];
+        }
+      }
+    }
+  });
+}
+
+// Fused scatter of per-agglomerate Galerkin (K) and Gram (Mb) blocks into
+// the padded per-super batches:
+//   A1[g_of[a], gpos[a,i], gpos[a,j]] += K[a,i,j]
+//   M [g_of[a], gpos[a,i], gpos[a,j]] += Mb[a,i,j]
+// gpos entries equal to m1p-1 are the dump slot (padding), kept as in the
+// numpy path and sliced off by the caller.  Serial over agglomerates (two
+// supers may interleave), ~100 ms where the bincount pipeline took 1.7 s.
+void scatter_super_blocks(
+    const int64_t* g_of,            // (n_agg,)
+    const int64_t* gpos,            // (n_agg, t_max)
+    const float* K,                 // (n_agg, t_max, t_max)
+    const double* Mb,               // (n_agg, t_max, t_max)
+    double* A1, double* M,          // (n_super, m1p, m1p), zero-initialized
+    int64_t n_agg, int64_t t_max, int64_t m1p)
+{
+  const int64_t b2 = m1p * m1p, t2 = t_max * t_max;
+  for (int64_t a = 0; a < n_agg; ++a) {
+    double* A1g = A1 + g_of[a] * b2;
+    double* Mg = M + g_of[a] * b2;
+    const int64_t* gp = gpos + a * t_max;
+    const float* Ka = K + a * t2;
+    const double* Ma = Mb + a * t2;
+    for (int64_t i = 0; i < t_max; ++i) {
+      const int64_t ri = gp[i] * m1p;
+      for (int64_t j = 0; j < t_max; ++j) {
+        A1g[ri + gp[j]] += (double)Ka[i * t_max + j];
+        Mg[ri + gp[j]] += Ma[i * t_max + j];
+      }
+    }
+  }
+}
+
+// float64-K variant.
+void scatter_super_blocks_f64(
+    const int64_t* g_of, const int64_t* gpos,
+    const double* K, const double* Mb,
+    double* A1, double* M,
+    int64_t n_agg, int64_t t_max, int64_t m1p)
+{
+  const int64_t b2 = m1p * m1p, t2 = t_max * t_max;
+  for (int64_t a = 0; a < n_agg; ++a) {
+    double* A1g = A1 + g_of[a] * b2;
+    double* Mg = M + g_of[a] * b2;
+    const int64_t* gp = gpos + a * t_max;
+    const double* Ka = K + a * t2;
+    const double* Ma = Mb + a * t2;
+    for (int64_t i = 0; i < t_max; ++i) {
+      const int64_t ri = gp[i] * m1p;
+      for (int64_t j = 0; j < t_max; ++j) {
+        A1g[ri + gp[j]] += Ka[i * t_max + j];
+        Mg[ri + gp[j]] += Ma[i * t_max + j];
+      }
     }
   }
 }
