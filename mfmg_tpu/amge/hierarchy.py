@@ -144,9 +144,14 @@ class Hierarchy:
             fine_op = problem.matrix_free_operator(dtype=self.dtype, mode="sumfac")
         elif cfg.operator == "stencil":
             from mfmg_tpu.ops.stencil import stencil_from_cell_matrices
+            # coeff_dtype (e.g. bfloat16) reduces the dominant HBM stream of
+            # the V-cycle; the hierarchy is a preconditioner, so reduced
+            # coefficient precision perturbs only the preconditioner — the
+            # outer CG residual uses the exact-dtype operator (solve_cg).
+            coeff_dt = jnp.dtype(cfg.coeff_dtype) if cfg.coeff_dtype else self.dtype
             fine_op = stencil_from_cell_matrices(
                 problem.mesh, problem.A_loc, problem.constrained,
-                problem.diag_raw, dtype=self.dtype)
+                problem.diag_raw, dtype=coeff_dt)
         else:
             fine_op = problem.ell_operator(dtype=self.dtype)
 
@@ -378,8 +383,24 @@ class Hierarchy:
                           cycle_type=self.config.cycle_type)
 
         b = jnp.asarray(b, dtype=self.dtype)
-        return cg_solve(self.levels[0].op, b, preconditioner=precond,
+        return cg_solve(self._exact_fine_op(), b, preconditioner=precond,
                         tol=tol, maxiter=maxiter)
+
+    def _exact_fine_op(self):
+        """Fine operator at the full hierarchy dtype for the OUTER Krylov
+        residual.  When coeff_dtype reduces the hierarchy's coefficient
+        storage (bf16 preconditioner), this rebuilds (and caches) the exact
+        operator so CG solves the unperturbed system."""
+        cfg = self.config
+        if (cfg.operator != "stencil" or not cfg.coeff_dtype
+                or jnp.dtype(cfg.coeff_dtype) == self.dtype):
+            return self.levels[0].op
+        if getattr(self, "_exact_op_cache", None) is None:
+            from mfmg_tpu.ops.stencil import stencil_from_cell_matrices
+            p = self.problem
+            self._exact_op_cache = stencil_from_cell_matrices(
+                p.mesh, p.A_loc, p.constrained, p.diag_raw, dtype=self.dtype)
+        return self._exact_op_cache
 
     # ------------------------------------------------------- persistence --
     def save(self, path: str) -> None:

@@ -156,6 +156,12 @@ class Config:
     # Device compute dtype for the apply path ("float32"/"float64"/"bfloat16").
     # Setup always runs in float64 on host.
     dtype: str = "float64"
+    # Storage dtype for the stencil coefficient planes INSIDE the hierarchy
+    # (the V-cycle preconditioner).  "bfloat16" halves the dominant HBM
+    # stream of the fine-level apply; the outer CG residual always uses a
+    # full-precision operator, so solve accuracy is unaffected.  None = same
+    # as dtype.
+    coeff_dtype: str | None = None
 
     @staticmethod
     def from_dict(d: dict) -> "Config":

@@ -40,10 +40,92 @@ def _layout(grid_shape, offsets):
     return k, nf, F, gz_pad
 
 
-def fits_vmem(grid_shape, offsets, dtype_bytes=4):
+def fits_vmem(grid_shape, offsets, dtype_bytes=4, coeff_bytes=4):
     k, nf, F, gz_pad = _layout(grid_shape, offsets)
-    need = gz_pad * F * dtype_bytes * (2 + 2 + 1)   # x, out, 2 coeff bufs, acc slack
+    need = gz_pad * F * (dtype_bytes * 3            # x, out, acc slack
+                         + coeff_bytes * 2)         # double-buffered planes
     return need < VMEM_BUDGET_BYTES
+
+
+def pick_tile_bz(grid_shape, offsets, dtype_bytes=4, coeff_bytes=4):
+    """Largest z-tile (multiple of 8) whose working set fits VMEM, or None."""
+    k, nf, F, _ = _layout(grid_shape, offsets)
+    rk = -(-2 * k // 8) * 8
+    for bz in (64, 32, 16, 8):
+        need = F * ((bz + rk) * dtype_bytes        # x slab
+                    + 2 * bz * coeff_bytes         # double-buffered planes
+                    + 2 * bz * dtype_bytes)        # out block + acc
+        if need < VMEM_BUDGET_BYTES:
+            return bz
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "grid_shape", "bz"))
+def pallas_stencil_apply_tiled(coeffs, x, offsets, grid_shape, bz):
+    """z-tiled variant for grids whose padded x exceeds VMEM (e.g. 129^3+):
+    each grid step DMAs a (bz + halo) x-slab and streams its coefficient
+    rows double-buffered; same roll-based shift algebra as the resident
+    kernel, with the z offset folded into the slab's halo rows."""
+    gz, gy, gx = grid_shape
+    k, nf, F, _ = _layout(grid_shape, offsets)
+    n_off = len(offsets)
+    rk = -(-2 * k // 8) * 8                        # aligned halo allowance
+    nzb = -(-gz // bz)
+    GZ = nzb * bz
+
+    # x rows: [k lead halo | gz real | pad to GZ + rk tail]
+    xp = jnp.pad(x.reshape(gz, nf), ((k, GZ - gz + rk), (0, F - nf)))
+    cp = jnp.pad(coeffs.reshape(n_off, gz, nf),
+                 ((0, 0), (0, GZ - gz), (0, F - nf)))
+    lane_shift = tuple((-(off[1] * gx + off[2])) % F for off in offsets)
+    slab_shift = tuple((-(k + off[0])) % (bz + rk) for off in offsets)
+
+    def kernel(cp_ref, xp_ref, out_ref, xslab, cbuf, sems):
+        i = pl.program_id(0)
+        cpx = pltpu.make_async_copy(xp_ref.at[pl.ds(i * bz, bz + rk)],
+                                    xslab, sems.at[2])
+        cpx.start()
+
+        def get_copy(j, slot):
+            return pltpu.make_async_copy(cp_ref.at[j].at[pl.ds(i * bz, bz)],
+                                         cbuf.at[slot], sems.at[slot])
+
+        get_copy(0, 0).start()
+        cpx.wait()
+        acc = None
+        for j in range(n_off):
+            slot = j % 2
+            if j + 1 < n_off:
+                get_copy(j + 1, 1 - slot).start()
+            get_copy(j, slot).wait()
+            v = xslab[:]
+            if slab_shift[j]:
+                v = pltpu.roll(v, slab_shift[j], axis=0)
+            v = v[0:bz]
+            if lane_shift[j]:
+                v = pltpu.roll(v, lane_shift[j], axis=1)
+            t = cbuf[slot].astype(v.dtype) * v
+            acc = t if acc is None else acc + t
+        out_ref[:] = acc
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(nzb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),     # coeffs stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),     # x slabbed manually
+        ],
+        out_specs=pl.BlockSpec((bz, F), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((GZ, F), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bz + rk, F), x.dtype),
+            pltpu.VMEM((2, bz, F), coeffs.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=(jax.default_backend() == "cpu"),
+    )(cp, xp)
+    return y[:gz, :nf].reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "grid_shape"))
@@ -75,7 +157,9 @@ def pallas_stencil_apply(coeffs, x, offsets, grid_shape):
                 v = pltpu.roll(v, sub_shift[j], axis=0)
             if lane_shift[j]:
                 v = pltpu.roll(v, lane_shift[j], axis=1)
-            t = cbuf[slot] * v
+            # coefficient planes may stream at reduced precision (bf16):
+            # upconvert in-register, accumulate in the x dtype
+            t = cbuf[slot].astype(v.dtype) * v
             acc = t if acc is None else acc + t
         out_ref[:] = acc
 

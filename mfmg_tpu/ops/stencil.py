@@ -57,14 +57,30 @@ def stencil_apply(op: StencilOperator, x: jax.Array) -> jax.Array:
     On TPU, 3D grids whose padded x fits VMEM route to the Pallas resident-x
     kernel (ops/pallas_stencil.py): x stays in VMEM and the coefficient
     planes stream once from HBM through a double-buffered DMA pipeline —
-    measured 26 us vs 49 us for the XLA path at 65^3 (bit-exact).  Everything
-    else uses the XLA slice-sum fallback below.
+    measured 26 us vs 49 us for the XLA path at 65^3 (bit-exact).  Larger
+    grids use the XLA slice-sum fallback, which is already bandwidth-bound
+    there (measured 129^3: 0.67 ms/apply f32 = ~366 GB/s effective, and
+    0.34 ms with bf16 coefficient planes — i.e. the 2x expected from
+    halving the dominant byte stream).  The manually-pipelined z-tiled
+    Pallas kernel (pallas_stencil_apply_tiled) is kept, bit-exact and
+    tested, behind MFMG_TILED_STENCIL=1: at 129^3 it measured 2.8 ms
+    (serialized per-plane DMA waits), so it is not the default.
     """
     if (jax.default_backend() == "tpu" and len(op.grid_shape) == 3
-            and op.coeffs.dtype == jnp.float32):
-        from mfmg_tpu.ops.pallas_stencil import fits_vmem, pallas_stencil_apply
-        if fits_vmem(op.grid_shape, op.offsets):
+            and op.coeffs.dtype in (jnp.float32, jnp.bfloat16)
+            and x.dtype == jnp.float32):
+        from mfmg_tpu.ops.pallas_stencil import (
+            fits_vmem, pallas_stencil_apply, pallas_stencil_apply_tiled,
+            pick_tile_bz)
+        cb = op.coeffs.dtype.itemsize
+        if fits_vmem(op.grid_shape, op.offsets, coeff_bytes=cb):
             return pallas_stencil_apply(op.coeffs, x, op.offsets, op.grid_shape)
+        import os
+        if os.environ.get("MFMG_TILED_STENCIL"):
+            bz = pick_tile_bz(op.grid_shape, op.offsets, coeff_bytes=cb)
+            if bz is not None:
+                return pallas_stencil_apply_tiled(op.coeffs, x, op.offsets,
+                                                  op.grid_shape, bz)
     return _stencil_apply_xla(op, x)
 
 
