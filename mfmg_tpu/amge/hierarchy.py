@@ -149,9 +149,13 @@ class Hierarchy:
             # coefficient precision perturbs only the preconditioner — the
             # outer CG residual uses the exact-dtype operator (solve_cg).
             coeff_dt = jnp.dtype(cfg.coeff_dtype) if cfg.coeff_dtype else self.dtype
+            # device=False: setup reads the planes host-side (nnz, deal.II CG
+            # estimate); _op_to_device pushes them exactly once at level
+            # finalization — a d2h readback costs ~50 s at 2.1M on tunneled
+            # runtimes (4.4 MB/s), h2d is ~1.7 s.
             fine_op = stencil_from_cell_matrices(
                 problem.mesh, problem.A_loc, problem.constrained,
-                problem.diag_raw, dtype=coeff_dt)
+                problem.diag_raw, dtype=coeff_dt, device=False)
         else:
             fine_op = problem.ell_operator(dtype=self.dtype)
 
@@ -194,7 +198,8 @@ class Hierarchy:
                               else cfg.coarse)
                 coarse = build_coarse_solver(A_c, bottom_cfg, dtype=self.dtype)
                 _mark(f"coarse solver (n={A_c.shape[0]})")
-                self.levels.append(LevelData(op=op, coarse=coarse))
+                self.levels.append(LevelData(op=self._op_to_device(op),
+                                             coarse=coarse))
                 break
             smoother_cfg = cfg.smoother
             if (amg_coarse and level >= num_levels - 1
@@ -251,11 +256,12 @@ class Hierarchy:
                 if transfer is not None:
                     self._agg_grid = out_grid
             if transfer is not None:
-                self.levels.append(LevelData(op=op, smoother=smoother,
+                self.levels.append(LevelData(op=self._op_to_device(op),
+                                             smoother=smoother,
                                              transfer=transfer))
             else:
                 self.levels.append(LevelData(
-                    op=op,
+                    op=self._op_to_device(op),
                     smoother=smoother,
                     R=ell_from_scipy(R, dtype=self.dtype),
                     RT=ell_from_scipy(R.T.tocsr(), dtype=self.dtype),
@@ -413,16 +419,33 @@ class Hierarchy:
         from mfmg_tpu.utils.serialize import load_hierarchy
         return load_hierarchy(path, problem)
 
+    @staticmethod
+    def _op_to_device(op):
+        """Finalize a level operator: push host-built stencil planes to the
+        device (exactly one h2d transfer; see stencil_from_cell_matrices)."""
+        from mfmg_tpu.ops.stencil import StencilOperator, stencil_to_device
+        if isinstance(op, StencilOperator):
+            return stencil_to_device(op)
+        return op
+
     # ------------------------------------------------------------ metrics --
     @staticmethod
     def _op_nnz(op) -> int:
-        """Operator nonzero count without assembling anything global."""
+        """Operator nonzero count without assembling anything global.
+
+        Device arrays are reduced on-device (scalar result) — a full d2h
+        readback of the planes costs ~50 s at 2.1M dofs on tunneled runtimes.
+        """
         from mfmg_tpu.ops.stencil import StencilOperator
         if isinstance(op, StencilOperator):
-            return int(np.count_nonzero(np.asarray(op.coeffs)))
+            if isinstance(op.coeffs, np.ndarray):
+                return int(np.count_nonzero(op.coeffs))
+            return int(jnp.count_nonzero(op.coeffs))
         from mfmg_tpu.ops.sparse import ELLMatrix
         if isinstance(op, ELLMatrix):
-            return int(np.count_nonzero(np.asarray(op.vals)))
+            if isinstance(op.vals, np.ndarray):
+                return int(np.count_nonzero(op.vals))
+            return int(jnp.count_nonzero(op.vals))
         # matrix-free: stencil-equivalent estimate (interior row length)
         cells = np.asarray(op.cells)
         n_loc = cells.shape[1]

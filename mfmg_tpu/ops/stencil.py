@@ -110,7 +110,8 @@ def _stencil_apply_xla(op: StencilOperator, x: jax.Array) -> jax.Array:
 
 def stencil_from_cell_matrices(mesh: Mesh, A_loc: np.ndarray,
                                constrained: np.ndarray, diag_raw: np.ndarray,
-                               dtype=jnp.float32) -> StencilOperator:
+                               dtype=jnp.float32,
+                               device: bool = True) -> StencilOperator:
     """Exact stencil extraction straight from the per-cell matrices — the
     global CSR is never assembled (the matrix-free setup path,
     dealii_matrix_free_hierarchy_helpers.cc:55-303 analog).
@@ -121,6 +122,13 @@ def stencil_from_cell_matrices(mesh: Mesh, A_loc: np.ndarray,
     cell matrices.  Dirichlet elimination is then applied in stencil form:
     constrained rows keep only the raw-diagonal center, and couplings INTO
     constrained columns are zeroed (matches ops.sparse.eliminate_dirichlet).
+
+    device=False keeps the coefficient planes as host numpy (same dtype):
+    setup consumers (nnz count, the deal.II CG eigenvalue estimate, coloring)
+    all read the coefficients host-side, and on tunneled runtimes a
+    device->host readback of the planes costs ~50 s at 2.1M dofs (measured
+    4.4 MB/s d2h vs 136 MB/s h2d).  Hierarchy pushes the operator to the
+    device exactly once, when the level is finalized.
     """
     if not mesh.is_structured:
         raise ValueError("stencil operator requires a structured mesh")
@@ -165,8 +173,19 @@ def stencil_from_cell_matrices(mesh: Mesh, A_loc: np.ndarray,
     nonzero = [i for i in range(len(offsets)) if np.any(coeffs[i])]
     coeffs = coeffs[nonzero]
     offsets = tuple(offsets[i] for i in nonzero)
-    return StencilOperator(coeffs=jnp.asarray(coeffs, dtype=dtype),
+    coeffs = (jnp.asarray(coeffs, dtype=dtype) if device
+              else coeffs.astype(jnp.dtype(dtype)))
+    return StencilOperator(coeffs=coeffs,
                            offsets=offsets, grid_shape=grid_shape)
+
+
+def stencil_to_device(op: StencilOperator) -> StencilOperator:
+    """Push a host-built stencil operator's planes to the device (no-op if
+    already there)."""
+    if isinstance(op.coeffs, np.ndarray):
+        return StencilOperator(coeffs=jnp.asarray(op.coeffs),
+                               offsets=op.offsets, grid_shape=op.grid_shape)
+    return op
 
 
 def stencil_from_csr(A: sp.spmatrix, mesh: Mesh, dtype=jnp.float32) -> StencilOperator:
