@@ -32,11 +32,13 @@ def main():
     t0 = time.perf_counter()
     prob = LaplaceProblem.hyper_cube(3, 7, material_property="linear")
     log(f"problem: n_dofs={prob.n_dofs} ({time.perf_counter()-t0:.0f}s)")
+    import os
+    coeff_dt = os.environ.get("MFMG_COEFF_DTYPE") or None
     cfg = Config(max_levels=3, operator="stencil", dtype="float32",
+                 coeff_dtype=coeff_dt,
                  smoother=SmootherConfig(type="chebyshev", degree=2),
                  agglomeration=AgglomerationConfig(nx=4, ny=4, nz=4),
                  coarse=CoarseConfig(type="direct"))
-    import os
     os.environ.setdefault("MFMG_TPU_VERBOSE", "1")
     hier = Hierarchy(prob, cfg)
     setup_s = time.perf_counter() - t0
@@ -87,6 +89,7 @@ def main():
     print(json.dumps({"metric": "vcycle_dof_per_s_large", "value": prob.n_dofs / dt,
                       "unit": "DoF/s",
                       "extra": {"n_dofs": prob.n_dofs, "ms_per_vcycle": dt * 1e3,
+                                "setup_s": round(setup_s, 1), "coeff_dtype": coeff_dt,
                                 "pcg_iterations": int(info["iterations"])}}))
 
 
