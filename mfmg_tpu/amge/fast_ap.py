@@ -120,7 +120,7 @@ def fast_multiply_transpose(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray,
 
     skeys, slots = _agg_dof_slots(batch, n_dofs)
     bl, hl = boundary_halo_pairs(mesh, agg_ids)
-    con = mesh.boundary_dofs
+    con = mesh.constrained_mask
 
     for pairs, src in ((bl, delta), (hl, full)):
         if not len(pairs):

@@ -152,7 +152,7 @@ def _try_build_structured(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray,
         d_loc = np.einsum("cii->ci", A_loc)[cells_per_agg]   # (n_agg, n_bc, n_loc)
         np.add.at(diag, (np.broadcast_to(np.arange(n_agg)[:, None, None], d_loc.shape),
                          np.broadcast_to(local_cells[None], d_loc.shape)), d_loc)
-    constrained = mesh.boundary_dofs[dof_map]
+    constrained = mesh.constrained_mask[dof_map]
 
     keep = ~constrained
     A_agg *= keep[:, :, None] * keep[:, None, :]
@@ -201,7 +201,7 @@ def _build_generic(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray) -> Agglom
 
     diag = np.einsum("gii->gi", A_agg).copy()              # raw local diagonals
     constrained = np.zeros((n_agg, m_max), dtype=bool)
-    constrained[valid] = mesh.boundary_dofs[dof_map[valid]]
+    constrained[valid] = mesh.constrained_mask[dof_map[valid]]
 
     # Dirichlet elimination inside each agglomerate: zero constrained rows and
     # columns, restore the raw diagonal entry (see ops.sparse.eliminate_dirichlet

@@ -48,9 +48,14 @@ class LaplaceProblem:
 
     @property
     def A(self) -> sp.csr_matrix:
-        """Assembled, Dirichlet-eliminated matrix (lazy)."""
+        """Assembled, condensed (hanging-node) and Dirichlet-eliminated matrix
+        (lazy).  On adaptive meshes this is C^T A C in the AffineConstraints
+        sense (reference tests/laplace.hpp:126-141,197-199)."""
         if self._A is None:
-            self._A = eliminate_dirichlet(self.A_raw, self.mesh.boundary_dofs)
+            A = self.A_raw
+            if self.mesh.hanging is not None:
+                A = self.mesh.hanging.condense(A)
+            self._A = eliminate_dirichlet(A, self.mesh.constrained_mask)
         return self._A
 
     @staticmethod
@@ -96,7 +101,14 @@ class LaplaceProblem:
 
     @property
     def constrained(self) -> np.ndarray:
-        return self.mesh.boundary_dofs
+        return self.mesh.constrained_mask
+
+    def distribute(self, u: np.ndarray) -> np.ndarray:
+        """Recover hanging-slave values from their masters after a solve
+        (AffineConstraints::distribute; no-op on conforming meshes)."""
+        if self.mesh.hanging is None:
+            return u
+        return self.mesh.hanging.distribute(u)
 
     def ell_operator(self, dtype=jnp.float64) -> ELLMatrix:
         """Assembled-path operator (analog of DealIITrilinosMatrixOperator /
@@ -106,6 +118,11 @@ class LaplaceProblem:
     def matrix_free_operator(self, dtype=jnp.float64, mode: str = "local_matrix") -> MatrixFreeOperator:
         """Matrix-free operator (analog of DealIIMatrixFreeOperator vmult via
         the user's matrix_free_evaluate_global)."""
+        if self.mesh.hanging is not None:
+            raise NotImplementedError(
+                "matrix-free operators on hanging-node meshes are not "
+                "supported yet; use the assembled path (Config.operator="
+                "'matrix') which condenses the constraints")
         if mode == "local_matrix":
             return MatrixFreeOperator(
                 cells=jnp.asarray(self.mesh.cells),
@@ -134,7 +151,10 @@ class LaplaceProblem:
         rhs_loc = local_mass_rhs(self.mesh, self.geom, f_at_q)
         rhs = np.zeros(self.n_dofs)
         np.add.at(rhs, self.mesh.cells.reshape(-1), rhs_loc.reshape(-1))
-        rhs[self.mesh.boundary_dofs] = 0.0
+        if self.mesh.hanging is not None:
+            # condensed load: b <- C^T b (slave load redistributed to masters)
+            rhs = self.mesh.hanging.matrix(self.n_dofs).T @ rhs
+        rhs[self.mesh.constrained_mask] = 0.0
         return rhs
 
     def l2_error(self, u: np.ndarray, exact: Callable) -> float:

@@ -28,6 +28,9 @@ class Mesh:
     boundary_dofs: np.ndarray    # (n_nodes,) bool — Dirichlet (boundary id 1) dofs
     # Structured metadata (None for unstructured meshes)
     structured_shape: tuple | None = None   # cells per dim, e.g. (4, 4, 4)
+    # Hanging-node constraints for 1-irregular adaptive meshes (Q1 only);
+    # None on conforming meshes.  See fem/adaptive.py.
+    hanging: "HangingConstraints | None" = None
 
     @property
     def n_nodes(self) -> int:
@@ -44,6 +47,16 @@ class Mesh:
     @property
     def is_structured(self) -> bool:
         return self.structured_shape is not None
+
+    @property
+    def constrained_mask(self) -> np.ndarray:
+        """Dofs with constrained rows in the condensed system: Dirichlet plus
+        hanging slaves.  The AMGe setup and solvers treat both identically
+        (identity rows, untouched by the V-cycle); hanging values are
+        recovered by ``LaplaceProblem.distribute`` after the solve."""
+        if self.hanging is None:
+            return self.boundary_dofs
+        return self.boundary_dofs | self.hanging.slave_mask(self.n_nodes)
 
     def cell_multi_index(self) -> np.ndarray:
         """(n_cells, dim) integer cell coordinates for structured meshes."""
@@ -85,13 +98,18 @@ def hyper_ball(dim: int, n_refinements: int, degree: int = 1,
     return mesh
 
 
-def from_cell_complex(verts: np.ndarray, cells_v: np.ndarray, degree: int = 1) -> Mesh:
+def from_cell_complex(verts: np.ndarray, cells_v: np.ndarray, degree: int = 1,
+                      interior_faces: set | None = None) -> Mesh:
     """Build a Mesh (Q_degree dofs) from a vertex/hex-cell complex.
 
     Higher-order nodes are placed by the multilinear (MappingQ1-equivalent,
     deal.II's default) map of the cell vertices and deduplicated by
     coordinate hashing; Dirichlet dofs are the nodes on boundary faces (faces
-    belonging to exactly one cell — all boundary gets id 1, laplace.hpp:100-108)."""
+    belonging to exactly one cell — all boundary gets id 1, laplace.hpp:100-108).
+
+    interior_faces: sorted-vertex-tuple facets that are interior despite
+    appearing in only one cell — the hanging interfaces of a 1-irregular
+    adaptive complex (see fem/adaptive.py)."""
     from mfmg_tpu.fem.ball import _cell_faces
     from mfmg_tpu.fem.reference import reference_element
 
@@ -136,9 +154,11 @@ def from_cell_complex(verts: np.ndarray, cells_v: np.ndarray, degree: int = 1) -
     for d in range(dim):
         for side in (0, 1):
             face_nodes.append(np.nonzero(lm[:, d] == (0 if side == 0 else k))[0])
+    skip = interior_faces or set()
     for ci, c in enumerate(cells_v):
         for fi, f in enumerate(faces):
-            if count[tuple(sorted(int(c[i]) for i in f))] == 1:
+            fv = tuple(sorted(int(c[i]) for i in f))
+            if count[fv] == 1 and fv not in skip:
                 boundary[cells[ci, face_nodes[fi]]] = True
 
     return Mesh(dim=dim, degree=k, nodes=np.asarray(nodes, dtype=float),
