@@ -361,13 +361,20 @@ def _super_blocks_per_agg(batch, super_of_agg: np.ndarray,
     first = np.concatenate([[True], sortd[1:] != sortd[:-1]]) & (sortd >= 0)
     own = np.zeros(n_agg * m, dtype=bool)
     own[order[first]] = True
-    Rown = Rb * own.reshape(n_agg, m)[:, None, :]
+    own2 = own.reshape(n_agg, m)
 
     # ---- batched BLAS-3 Gram blocks, threaded over agglomerate chunks ----
-    Mb = np.empty((n_agg, t_max, t_max))
+    # Work in the Galerkin blocks' dtype (float32 for float32 hierarchies):
+    # the ownership mask is fused into each chunk so the (n_agg, t_max, m)
+    # masked copy never materializes globally (measured 13.7s for the f64
+    # broadcast alone at 2.1M dofs vs 5.2s for the whole fused f32 pass).
+    # The per-super pencil solves downstream stay float64.
+    wdt = K.dtype if hasattr(K, "dtype") else np.float64
+    Mb = np.empty((n_agg, t_max, t_max), dtype=wdt)
 
     def _blk(lo, hi):
-        np.matmul(Rown[lo:hi], np.swapaxes(Rown[lo:hi], 1, 2), out=Mb[lo:hi])
+        Rm = Rb[lo:hi].astype(wdt, copy=False) * own2[lo:hi][:, None, :]
+        np.matmul(Rm, np.swapaxes(Rm, 1, 2), out=Mb[lo:hi])
 
     _run_threaded(_blk, n_agg)
 
@@ -410,17 +417,23 @@ def _super_blocks_per_agg(batch, super_of_agg: np.ndarray,
 
 
 def _run_threaded(fn, n, min_per_worker=16):
-    """Run fn(lo, hi) over [0, n) split across a thread pool."""
+    """Run fn(lo, hi) over [0, n) split across a thread pool.
+
+    BLAS-internal threading is pinned to 1 inside the pool: the outer split
+    already saturates the cores, and nested OpenBLAS threads oversubscribe
+    badly on small hosts (2-core VM: run-to-run variance of 4x observed)."""
     import os
     n_workers = min(os.cpu_count() or 1, 8, max(1, n // min_per_worker))
     if n_workers <= 1:
         fn(0, n)
         return
+    from mfmg_tpu.utils.threads import blas_single_thread
     bounds = np.linspace(0, n, n_workers + 1).astype(int)
-    with ThreadPoolExecutor(n_workers) as pool:
-        for f in [pool.submit(fn, bounds[t], bounds[t + 1])
-                  for t in range(n_workers)]:
-            f.result()
+    with blas_single_thread():
+        with ThreadPoolExecutor(n_workers) as pool:
+            for f in [pool.submit(fn, bounds[t], bounds[t + 1])
+                      for t in range(n_workers)]:
+                f.result()
 
 
 def _solve_and_assemble(A1, M, m1s, member_pad, coarse_diag, n_ev,

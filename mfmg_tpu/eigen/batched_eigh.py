@@ -76,6 +76,12 @@ def batched_smallest_eigenpairs(batch: AgglomerateBatch, n_ev: int,
         # never enters the solve at all.  Diagonal edits go through a
         # writable einsum view — one dtype-cast pass over the batch total.
         import scipy.linalg as sla
+        from scipy.linalg import lapack as _lap
+        # Raw LAPACK subset driver: ~3x less per-call overhead than the
+        # scipy.linalg.eigh wrapper (0.37 vs 1.05 ms at 125x125 f32), which
+        # matters at tens of thousands of agglomerates per level.
+        syevx = (_lap.ssyevx if np.dtype(host_dtype) == np.float32
+                 else _lap.dsyevx)
         Mh = batch.A_agg               # read-only; per-solve copies below
         pin = constrained_mode in ("pin", "identity")
         evals = np.zeros((n_agg, n_ev))
@@ -92,21 +98,33 @@ def batched_smallest_eigenpairs(batch: AgglomerateBatch, n_ev: int,
                 dv += host_dtype(shifts[i])
                 if pin:
                     dv[batch.constrained[i, :sz]] = CONSTRAINED_DIAG
-                w, v = sla.eigh(Mi, subset_by_index=[0, n_ev - 1],
-                                driver="evx", check_finite=False,
-                                overwrite_a=True)
-                evals[i] = w.astype(np.float64) - shifts[i]
-                evecs[i, :sz] = v.astype(np.float64)
+                w, v, m_found, ifail, info = syevx(
+                    Mi, range="I", il=1, iu=n_ev, lower=1, overwrite_a=1)
+                if info != 0 or m_found < n_ev:
+                    # rare: rebuild the (overwritten) block and use the
+                    # robust scipy driver
+                    Mi = np.array(Mh[i, :sz, :sz], dtype=host_dtype)
+                    dv = np.einsum("ii->i", Mi)
+                    dv += host_dtype(shifts[i])
+                    if pin:
+                        dv[batch.constrained[i, :sz]] = CONSTRAINED_DIAG
+                    w, v = sla.eigh(Mi, subset_by_index=[0, n_ev - 1],
+                                    driver="evr", check_finite=False)
+                evals[i] = w[:n_ev].astype(np.float64) - shifts[i]
+                evecs[i, :sz] = v[:, :n_ev].astype(np.float64)
 
         n_workers = min(os.cpu_count() or 1, 8)
         if n_workers > 1 and n_agg >= 4 * n_workers:
             from concurrent.futures import ThreadPoolExecutor
+
+            from mfmg_tpu.utils.threads import blas_single_thread
             bounds = np.linspace(0, n_agg, n_workers + 1).astype(int)
-            with ThreadPoolExecutor(n_workers) as pool:
-                futs = [pool.submit(_solve_range, bounds[k], bounds[k + 1])
-                        for k in range(n_workers)]
-                for f in futs:
-                    f.result()
+            with blas_single_thread():
+                with ThreadPoolExecutor(n_workers) as pool:
+                    futs = [pool.submit(_solve_range, bounds[k], bounds[k + 1])
+                            for k in range(n_workers)]
+                    for f in futs:
+                        f.result()
         else:
             _solve_range(0, n_agg)
         evecs = evecs * batch.valid[:, :, None]
