@@ -31,7 +31,12 @@ BASELINE_DOF_S = 5.843e5   # round-1 first implementation (ELL gather path)
 import os as _env_os
 
 N_REF = int(_env_os.environ.get("MFMG_BENCH_NREF", "6"))
-N_CYCLES = 50
+# Trip counts sized so kernel time dominates the tunneled runtime's per-call
+# dispatch jitter (measured +-40 ms on the same executable): the two-point
+# slope is then stable to ~1% (round-2's N_HI=50 V-cycle loop put ~45 ms of
+# kernel against 40 ms of jitter, which is where the phantom round-over-round
+# "SpMV regression" came from — 0.014 vs 0.026 ms were both noise).
+N_CYCLES = 200
 # 3 levels measured 0.935 ms/cycle vs 1.71 ms at 2 levels (the 8192^2 dense
 # coarse inverse read dominates 2-level); net CG solve also faster (10 x
 # 0.94 ms vs 8 x 1.71 ms).
@@ -106,19 +111,19 @@ def main():
         assert np.isfinite(cs)
         return time.perf_counter() - t0
 
-    N_LO, N_HI = 5, N_CYCLES
+    N_LO, N_HI = 20, N_CYCLES
 
-    def _two_point(timed_fn, n_samples=5):
-        """Median of per-attempt (T(N_HI)-T(N_LO))/(N_HI-N_LO) slopes.
+    def _two_point(timed_fn, n_lo, n_hi, n_samples=4):
+        """Median of per-attempt (T(n_hi)-T(n_lo))/(n_hi-n_lo) slopes.
 
         A single positive difference can be pure dispatch jitter (observed:
         0.001 ms "SpMV" on the tunneled runtime); the median over several
         attempts is robust to both signs of that noise."""
         slopes = []
         for _attempt in range(2 * n_samples):
-            t_lo, t_hi = timed_fn(N_LO), timed_fn(N_HI)
+            t_lo, t_hi = timed_fn(n_lo), timed_fn(n_hi)
             if 0 < t_lo < t_hi:
-                slopes.append((t_hi - t_lo) / (N_HI - N_LO))
+                slopes.append((t_hi - t_lo) / (n_hi - n_lo))
             if len(slopes) >= n_samples:
                 break
         assert slopes, "could not obtain a consistent timing"
@@ -126,7 +131,7 @@ def main():
 
     # warmup-compile both trip counts
     _timed(N_LO), _timed(N_HI)
-    dt, t_lo, t_hi = _two_point(_timed)
+    dt, t_lo, t_hi = _two_point(_timed, N_LO, N_HI)
     dof_s = prob.n_dofs / dt
     log(f"vcycle: {dt*1e3:.3f} ms/cycle -> {dof_s:.3e} DoF/s "
         f"(t_lo={t_lo*1e3:.1f}ms t_hi={t_hi*1e3:.1f}ms)")
@@ -146,8 +151,9 @@ def main():
         assert np.isfinite(cs)
         return time.perf_counter() - t0
 
-    _timed_s(N_LO), _timed_s(N_HI)
-    spmv_dt, t_lo, t_hi = _two_point(_timed_s)
+    S_LO, S_HI = 500, 5000          # ~32 us kernel: 160 ms >> dispatch jitter
+    _timed_s(S_LO), _timed_s(S_HI)
+    spmv_dt, t_lo, t_hi = _two_point(_timed_s, S_LO, S_HI)
     nnz_s = nnz / spmv_dt
     log(f"spmv: {spmv_dt*1e3:.3f} ms -> {nnz_s:.3e} nnz/s")
 
@@ -226,8 +232,9 @@ def main():
         jax.block_until_ready(v)
         return v
 
-    _timed_t(N_LO), _timed_t(N_HI)
-    triad_dt, _, _ = _two_point(_timed_t)
+    T_LO, T_HI = 50, 500            # ~0.6 ms kernel: 300 ms >> jitter
+    _timed_t(T_LO), _timed_t(T_HI)
+    triad_dt, _, _ = _two_point(_timed_t, T_LO, T_HI)
     triad_bw = 3 * m * 4 / triad_dt / 1e9
     achieved = bytes_cycle / dt / 1e9
     pct_sol = 100.0 * achieved / triad_bw

@@ -97,12 +97,24 @@ def _batched_scatter(flat_idx: np.ndarray, weights: np.ndarray, size: int):
     return np.bincount(flat_idx.ravel(), weights=weights.ravel(), minlength=size)
 
 
-# Gram rank cutoff (relative).  _USE_PSTRF selects the pivoted-Cholesky
-# pencil reduction (with Jacobi pre-scaling for conditioning): ~4x faster
-# than the eigendecomposition basis at equal or better measured V-cycle
-# rates (disc 0.181 vs 0.175, 2D 0.119 vs 0.255, linear 0.118 vs 0.116);
-# eigh remains the fallback on any pstrf failure.
-_RANK_TOL = 1e-10
+# Gram rank cutoffs (relative).  The truncation is a QUALITY knob, not just a
+# numerical guard: near-dependent Gram directions carry little M-mass but can
+# have large A-energy, and keeping them lets the local eigensolver pick
+# noise-dominated functions that pollute the coarse space.  Measured at the
+# bench config (65^3, 4x4x4 aggs, 3 levels): rank kept too high (tol 1e-14 or
+# pstrf@1e-10) gives V-cycle rate 0.885 / PCG 17; the truncated basis gives
+# 0.671 / PCG ~10 — this was the round-2 bench regression.
+#
+# pstrf pivots scale like EIGENVALUES of the scaled Gram (squared basis
+# magnitudes), but dpstrf's internal stop rule is conservative, so its
+# tolerance must sit ~2 decades looser than the eigh cutoff to truncate the
+# same subspace: 1e-6 (pstrf) reproduces the eigh@1e-8 rate exactly.
+#
+# _USE_PSTRF selects the pivoted-Cholesky pencil reduction (with Jacobi
+# pre-scaling for conditioning) — faster than the eigendecomposition basis at
+# large batch; eigh remains the fallback on any pstrf failure.
+_RANK_TOL = 1e-8      # eigh basis: keep lam > tol * lam_max
+_PSTRF_TOL = 1e-6     # dpstrf pivot tolerance (see above)
 _USE_PSTRF = True
 
 
@@ -457,7 +469,7 @@ def _solve_and_assemble(A1, M, m1s, member_pad, coarse_diag, n_ev,
         d = np.sqrt(np.maximum(Mg.diagonal(), 1e-300))
         Dg = 1.0 / d
         Ms = Mg * Dg[:, None] * Dg[None, :]
-        c, piv, r, info = dpstrf(Ms, lower=1, tol=_RANK_TOL)
+        c, piv, r, info = dpstrf(Ms, lower=1, tol=_PSTRF_TOL)
         if info < 0 or r == 0:
             return None
         piv = piv - 1                                  # LAPACK is 1-based

@@ -78,6 +78,19 @@ class SmootherConfig:
     degree: int = 1
     smoothing_range: float = 0.0
     max_eigenvalue: Optional[float] = None
+    # Chebyshev eigenvalue-interval estimator when max_eigenvalue is None:
+    #   "lanczos"   — converged (40-step) Lanczos interval; the production
+    #                 default.  An accurate lmax is what keeps the V-cycle
+    #                 contraction (and hence PCG iteration counts) intact at
+    #                 scale.
+    #   "dealii_cg" — deal.II PreconditionChebyshev parity: exactly
+    #                 eig_cg_n_iterations (default 8) preconditioned-CG steps
+    #                 from the i%11 start vector.  Deliberately under-converged
+    #                 — the reference's golden rates depend on it — so it is
+    #                 the golden-parity mode, NOT the production default
+    #                 (an 8-step estimate underestimates lmax badly at 10^5+
+    #                 dofs: measured PCG 10 -> 17 iterations at 274k).
+    eig_estimate: str = "lanczos"
     eig_cg_n_iterations: int = 8
     jacobi_omega: float = 1.0
 
@@ -197,6 +210,9 @@ class Config:
             degree=int(s.get("degree", 1)),
             smoothing_range=float(s.get("smoothing_range", 0.0)),
             max_eigenvalue=(float(s["max_eigenvalue"]) if "max_eigenvalue" in s else None),
+            # .info configs are reference-style inputs: default to the
+            # reference's own (deal.II 8-step) estimator for parity there.
+            eig_estimate=s.get("eig_estimate", "dealii_cg").strip().lower(),
             eig_cg_n_iterations=int(s.get("eig_cg_n_iterations", 8)),
             jacobi_omega=float(s.get("jacobi_omega", 1.0)),
         )
@@ -230,7 +246,8 @@ class Config:
             "smoother": {"type", "coloring", "ordering",
                          "n_smoothing_steps", "degree",
                          "smoothing_range", "max_eigenvalue",
-                         "eig_cg_n_iterations", "jacobi_omega"},
+                         "eig_estimate", "eig_cg_n_iterations",
+                         "jacobi_omega"},
             "coarse": {"type", "tolerance", "max_iterations", "max levels",
                        "max_levels", "n_agglomerates", "params", "config_file"},
             "agglomeration": {"partitioner", "nx", "ny", "nz",

@@ -473,19 +473,27 @@ def build_smoother(op, smoother_cfg, dtype=jnp.float64, A_scipy=None,
             lmax = float(smoother_cfg.max_eigenvalue)
             lmin_est = lmax / 20.0
         else:
-            # deal.II parity: exactly eig_cg_n_iterations (default 8) of
-            # preconditioned CG from the i%11 start vector — an
-            # intentionally under-converged estimate the reference's golden
-            # rates depend on (PreconditionChebyshev::estimate_eigenvalues).
-            n_iter = smoother_cfg.eig_cg_n_iterations
             apply_fn, diag_h = _host_apply_and_diag(op, A_scipy=A_scipy,
                                                     problem=problem)
-            if apply_fn is not None:
+            est = smoother_cfg.eig_estimate.strip().lower()
+            if est == "dealii_cg" and apply_fn is not None:
+                # deal.II parity: exactly eig_cg_n_iterations (default 8) of
+                # preconditioned CG from the i%11 start vector — an
+                # intentionally under-converged estimate the reference's
+                # golden rates depend on
+                # (PreconditionChebyshev::estimate_eigenvalues).  Opt-in via
+                # SmootherConfig.eig_estimate: at production sizes the 8-step
+                # estimate underestimates lmax and degrades the cycle.
                 lmin_est, lmax_est = dealii_cg_eigenvalue_estimate(
-                    apply_fn, diag_h, diag_h.shape[0], n_iter=n_iter)
+                    apply_fn, diag_h, diag_h.shape[0],
+                    n_iter=smoother_cfg.eig_cg_n_iterations)
+            elif apply_fn is not None:
+                # production default: converged host Lanczos interval
+                lmin_est, lmax_est = _host_lanczos_interval(
+                    apply_fn, diag_h, diag_h.shape[0], n_iter=40, seed=7)
             else:
                 lmin_est, lmax_est = estimate_extreme_eigenvalues(
-                    op, inv_diag, n_iter=max(n_iter, 40))
+                    op, inv_diag, n_iter=40)
             lmax = 1.2 * lmax_est          # deal.II safety factor
             lmin_est = max(lmin_est, 1e-12)
         if smoother_cfg.smoothing_range > 1.0:

@@ -76,7 +76,8 @@ def test_ball_hierarchy_rates_near_reference():
     prob = LaplaceProblem.from_mesh(hyper_ball(3, 2), "constant")
     cfg = Config(is_preconditioner=False,
                  eigensolver=EigensolverConfig(constrained_mode="identity"),
-                 smoother=SmootherConfig(type="chebyshev", degree=1),
+                 smoother=SmootherConfig(type="chebyshev", degree=1,
+                                         eig_estimate="dealii_cg"),
                  agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2))
     rate = measure_vcycle_rate(Hierarchy(prob, cfg), 20, seed=0)
     assert rate == pytest.approx(0.3356, abs=0.005), rate     # our golden
