@@ -46,6 +46,11 @@ class EigensolverConfig:
     num_cycles: int = 1
     num_eigenpairs_per_cycle: int = 1
     use_initial_guess: bool = False
+    # Anasazi "Full Ortho" stability mode (anasazi.templates.hpp:56-88):
+    # True = QR-orthonormalize the whole LOBPCG trial basis each iteration
+    # (the reference driver's setting); False = raw-basis generalized
+    # Rayleigh-Ritz (Anasazi's cheaper, less stable default).
+    full_ortho: bool = True
 
 
 @dataclasses.dataclass
@@ -198,6 +203,7 @@ class Config:
             num_cycles=int(e.get("num_cycles", 1)),
             num_eigenpairs_per_cycle=int(e.get("num_eigenpairs_per_cycle", 1)),
             use_initial_guess=_to_bool(e.get("use_initial_guess", False)),
+            full_ortho=_to_bool(e.get("full_ortho", True)),
             backend=e.get("backend", "auto"),
             constrained_mode=e.get("constrained_mode", "auto"),
         )
