@@ -82,6 +82,21 @@ def batched_smallest_eigenpairs(batch: AgglomerateBatch, n_ev: int,
         # matters at tens of thousands of agglomerates per level.
         syevx = (_lap.ssyevx if np.dtype(host_dtype) == np.float32
                  else _lap.dsyevx)
+        syevx_lwork = (_lap.ssyevx_lwork if np.dtype(host_dtype) == np.float32
+                       else _lap.dsyevx_lwork)
+        # Blocked-optimal workspace per matrix size (f2py defaults to the
+        # LAPACK minimum 8n, which serializes the reduction for larger
+        # blocks).  Plain dict: GIL-atomic, worst case a duplicate query.
+        _lwork_cache: dict = {}
+
+        def _lwork(sz):
+            lw = _lwork_cache.get(sz)
+            if lw is None:
+                wk, info = syevx_lwork(sz, lower=1)
+                lw = int(wk) if info == 0 else 8 * sz
+                _lwork_cache[sz] = lw
+            return lw
+
         Mh = batch.A_agg               # read-only; per-solve copies below
         pin = constrained_mode in ("pin", "identity")
         evals = np.zeros((n_agg, n_ev))
@@ -99,7 +114,8 @@ def batched_smallest_eigenpairs(batch: AgglomerateBatch, n_ev: int,
                 if pin:
                     dv[batch.constrained[i, :sz]] = CONSTRAINED_DIAG
                 w, v, m_found, ifail, info = syevx(
-                    Mi, range="I", il=1, iu=n_ev, lower=1, overwrite_a=1)
+                    Mi, range="I", il=1, iu=n_ev, lower=1, overwrite_a=1,
+                    lwork=_lwork(sz))
                 if info != 0 or m_found < n_ev:
                     # rare: rebuild the (overwritten) block and use the
                     # robust scipy driver

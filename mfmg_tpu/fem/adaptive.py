@@ -98,14 +98,25 @@ class HangingConstraints:
         return out
 
 
-def refine_adaptive(verts: np.ndarray, cells: np.ndarray, marks: np.ndarray):
+def refine_adaptive(verts: np.ndarray, cells: np.ndarray, marks: np.ndarray,
+                    prior_constraints=None):
     """Refine the marked cells of a quad/hex complex into 2^dim children.
 
-    Returns (verts, cells, constraints_raw) where constraints_raw is a list of
-    (slave_vertex, [master_vertices], [weights]) at the VERTEX level (Q1).
-    The result must be 1-irregular: a marked cell may not neighbor a cell that
-    is itself hanging on it (callers refine in sweeps, like deal.II's
-    prepare_coarsening_and_refinement smoothing).
+    Returns (verts, cells, constraints_raw, interface_faces) where
+    constraints_raw is a list of (slave_vertex, [master_vertices], [weights])
+    at the VERTEX level (Q1).
+
+    Multi-sweep refinement: pass the PREVIOUS sweep's constraints_raw (or a
+    packed HangingConstraints) as ``prior_constraints``.  Prior hanging
+    vertices are then
+      * reused (not duplicated) when their coarse facet is refined this sweep,
+      * kept constrained while their coarse neighbor stays unrefined,
+      * released when the coarse side refines (both sides then conform).
+    The result must stay 1-irregular: marking a cell on the FINE side of a
+    still-active interface would hang new vertices two levels below the
+    coarse facet; that is detected and raises ValueError (deal.II instead
+    auto-refines the coarse neighbor — callers should mark it too and
+    re-sweep).
     """
     from mfmg_tpu.fem.ball import _cell_faces
 
@@ -114,6 +125,8 @@ def refine_adaptive(verts: np.ndarray, cells: np.ndarray, marks: np.ndarray):
     marks = np.asarray(marks, dtype=bool)
     dim = verts.shape[1]
     faces = _cell_faces(dim)
+
+    prior_raw = _unpack_constraints(prior_constraints)
 
     # Entities (edges / 3D faces) of the UNREFINED cells: a new mid vertex on
     # one of these is hanging.
@@ -133,20 +146,61 @@ def refine_adaptive(verts: np.ndarray, cells: np.ndarray, marks: np.ndarray):
     V = [v for v in verts]
     cache: dict = {}
     hanging: dict = {}          # new vertex id -> (masters, weights)
+
+    # ---- merge state from previous sweeps --------------------------------
+    # Seed the midpoint cache with prior hanging vertices so a coarse facet
+    # refined this sweep reuses them instead of duplicating; partition prior
+    # constraints into retained (coarse side still unrefined) and released.
+    retained_prior: list = []
+    for s, ms, ws in prior_raw:
+        key = tuple(sorted(int(m) for m in ms))
+        cache[key] = int(s)
+        kept = key in (unref_edges if len(ms) == 2 else unref_faces)
+        if kept:
+            retained_prior.append((int(s), [int(m) for m in ms],
+                                   [float(w) for w in ws]))
+    active_slaves = {s: set(ms) for s, ms, _ in retained_prior}
+
+    def _check_edge(a, b):
+        # Splitting an edge that lies INSIDE a still-active coarse facet
+        # (one endpoint is a retained hanging vertex, the other one of its
+        # masters) would create a 2-irregular vertex.
+        for u, v in ((a, b), (b, a)):
+            if u in active_slaves and v in active_slaves[u]:
+                raise ValueError(
+                    "refinement would make the mesh 2-irregular: cell edge "
+                    f"({a},{b}) subdivides a facet that still hangs on an "
+                    "unrefined coarse neighbor — mark that neighbor for "
+                    "refinement in the same sweep")
     # Facets (edges in 2D, quads in 3D) that sit on a hanging interface: they
     # appear in exactly one cell of the refined complex (the coarse facet on
     # the unrefined side, its subfacets on the refined side) yet are interior.
     # from_cell_complex must not mistake them for boundary.
     interface_faces: set = set()
 
+    # Geometric vertex dedup: a multi-sweep refinement recreates midpoints
+    # that an earlier sweep already built (e.g. the boundary-edge midpoints
+    # of a released interface, which were never constraints and so are not
+    # in the constraint-seeded cache).  Midpoint formulas are bitwise
+    # reproducible (same IEEE expression on the same inputs); rounding adds
+    # safety margin.
+    coord_index: dict = {tuple(np.round(v, 12)): i for i, v in enumerate(V)}
+
     def _new(p):
-        V.append(np.asarray(p, dtype=float))
+        p = np.asarray(p, dtype=float)
+        key = tuple(np.round(p, 12))
+        vid = coord_index.get(key)
+        if vid is not None:
+            return vid
+        V.append(p)
+        coord_index[key] = len(V) - 1
         return len(V) - 1
 
     def line_mid(a, b):
         key = tuple(sorted((int(a), int(b))))
         if key in cache:
             return cache[key]
+        _check_edge(*key)
         vid = _new(0.5 * (V[key[0]] + V[key[1]]))
         cache[key] = vid
         if key in unref_edges:
@@ -162,6 +216,16 @@ def refine_adaptive(verts: np.ndarray, cells: np.ndarray, marks: np.ndarray):
         key = tuple(sorted(int(v) for v in q))
         if key in cache:
             return cache[key]
+        # splitting a subface of a still-active coarse face (its center is a
+        # retained 4-master hanging vertex among our corners) -> 2-irregular
+        for v in key:
+            ms = active_slaves.get(v)
+            if ms is not None and len(ms) == 4 and ms & set(key):
+                raise ValueError(
+                    "refinement would make the mesh 2-irregular: face "
+                    f"{key} subdivides a face that still hangs on an "
+                    "unrefined coarse neighbor — mark that neighbor for "
+                    "refinement in the same sweep")
         a, b, c_, d = (int(v) for v in q)
         e_ab, e_cd = line_mid(a, b), line_mid(c_, d)
         e_ac, e_bd = line_mid(a, c_), line_mid(b, d)
@@ -235,9 +299,56 @@ def refine_adaptive(verts: np.ndarray, cells: np.ndarray, marks: np.ndarray):
                 child.append(grid[mi])
             new_cells.append(child)
 
+    # ---- re-emit retained prior constraints + their interface facets -----
+    def _mid_id(a, b):
+        """Vertex id of the midpoint of (a, b): from the constraint-seeded
+        cache, else geometrically (prior midpoints that were never
+        constraints, e.g. edge midpoints on the domain boundary)."""
+        vid = cache.get(tuple(sorted((a, b))))
+        if vid is None:
+            vid = coord_index.get(tuple(np.round(0.5 * (V[a] + V[b]), 12)))
+        return vid
+
+    for s, ms, ws in retained_prior:
+        if s not in hanging:
+            hanging[s] = (ms, ws)
+        if len(ms) == 2:
+            a, b = ms
+            if dim == 2:
+                interface_faces.update({tuple(sorted((a, b))),
+                                        tuple(sorted((a, s))),
+                                        tuple(sorted((b, s)))})
+        else:                                   # 3D face constraint
+            a, b, c_, d = ms                    # (00,10,01,11) creation layout
+            interface_faces.add(tuple(sorted(ms)))
+            e_ab, e_cd = _mid_id(a, b), _mid_id(c_, d)
+            e_ac, e_bd = _mid_id(a, c_), _mid_id(b, d)
+            if None not in (e_ab, e_cd, e_ac, e_bd):
+                for corner, ex, ey in ((a, e_ab, e_ac), (b, e_ab, e_bd),
+                                       (c_, e_cd, e_ac), (d, e_cd, e_bd)):
+                    interface_faces.add(tuple(sorted((corner, ex, ey, s))))
+
     constraints_raw = [(vid, ms, ws) for vid, (ms, ws) in sorted(hanging.items())]
+    # invariant: masters are free vertices (1-irregularity was enforced above)
+    slave_set = {s for s, _, _ in constraints_raw}
+    for s, ms, _ in constraints_raw:
+        assert not (slave_set & set(ms)), (
+            f"constraint chain at vertex {s} — mesh is not 1-irregular")
     return (np.asarray(V), np.asarray(new_cells, dtype=np.int64), constraints_raw,
             interface_faces)
+
+
+def _unpack_constraints(prior) -> list:
+    """Normalize prior constraints (raw list or HangingConstraints) to the
+    raw [(slave, masters, weights)] form."""
+    if prior is None:
+        return []
+    if isinstance(prior, HangingConstraints):
+        return [(int(prior.slaves[i]),
+                 [int(m) for m in prior.masters[i, :prior.n_masters[i]]],
+                 [float(w) for w in prior.weights[i, :prior.n_masters[i]]])
+                for i in range(prior.n)]
+    return list(prior)
 
 
 def _pack_constraints(constraints_raw) -> HangingConstraints | None:
@@ -258,16 +369,22 @@ def _pack_constraints(constraints_raw) -> HangingConstraints | None:
                               weights=weights, n_masters=n_masters)
 
 
-def adaptive_mesh(verts: np.ndarray, cells: np.ndarray, marks: np.ndarray):
+def adaptive_mesh(verts: np.ndarray, cells: np.ndarray, marks: np.ndarray,
+                  prior_constraints=None):
     """Refine marked cells and build a Q1 Mesh carrying the hanging
     constraints.  Marks may be a bool mask or a callable(cell_centers)->mask.
-    Only degree-1 elements are supported on hanging meshes."""
+    Only degree-1 elements are supported on hanging meshes.
+
+    For a SECOND refinement sweep on an already-adaptive mesh, pass the
+    previous mesh's constraints (``mesh.hanging``) as ``prior_constraints``
+    (or use :func:`refine_mesh`, which threads them automatically)."""
     from mfmg_tpu.fem.mesh import from_cell_complex
 
     if callable(marks):
         centers = np.asarray(verts)[np.asarray(cells)].mean(axis=1)
         marks = np.asarray(marks(centers), dtype=bool)
-    v2, c2, raw, interface = refine_adaptive(verts, cells, marks)
+    v2, c2, raw, interface = refine_adaptive(verts, cells, marks,
+                                             prior_constraints=prior_constraints)
     mesh = from_cell_complex(v2, c2, degree=1, interior_faces=interface)
     # from_cell_complex(degree=1) keeps vertex ids as dof ids, so the raw
     # vertex-level constraints are already dof-level.
@@ -283,6 +400,13 @@ def adaptive_mesh(verts: np.ndarray, cells: np.ndarray, marks: np.ndarray):
                 slaves=h.slaves[keep], masters=h.masters[keep],
                 weights=h.weights[keep], n_masters=h.n_masters[keep])
     return mesh
+
+
+def refine_mesh(mesh, marks) -> "Mesh":
+    """One adaptive sweep on an existing Q1 mesh, carrying its hanging
+    constraints through (multi-sweep entry point)."""
+    return adaptive_mesh(mesh.nodes, mesh.cells, marks,
+                         prior_constraints=getattr(mesh, "hanging", None))
 
 
 def adaptive_cube(dim: int, n_refinements: int, marks) -> "Mesh":

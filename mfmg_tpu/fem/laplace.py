@@ -122,7 +122,7 @@ class LaplaceProblem:
             raise NotImplementedError(
                 "matrix-free operators on hanging-node meshes are not "
                 "supported yet; use the assembled path (Config.operator="
-                "'matrix') which condenses the constraints")
+                "'ell') which condenses the constraints")
         if mode == "local_matrix":
             return MatrixFreeOperator(
                 cells=jnp.asarray(self.mesh.cells),

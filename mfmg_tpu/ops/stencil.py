@@ -130,6 +130,11 @@ def stencil_from_cell_matrices(mesh: Mesh, A_loc: np.ndarray,
     4.4 MB/s d2h vs 136 MB/s h2d).  Hierarchy pushes the operator to the
     device exactly once, when the level is finalized.
     """
+    if getattr(mesh, "hanging", None) is not None:
+        raise NotImplementedError(
+            "stencil operators on hanging-node meshes are not supported "
+            "yet; use the assembled path (Config.operator='ell') which "
+            "condenses the constraints")
     if not mesh.is_structured:
         raise ValueError("stencil operator requires a structured mesh")
     k = mesh.degree

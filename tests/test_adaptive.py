@@ -119,3 +119,96 @@ def test_matrix_free_raises_on_hanging():
     prob = LaplaceProblem.from_mesh(mesh, "constant")
     with pytest.raises(NotImplementedError):
         prob.matrix_free_operator()
+
+
+def _linear_patch_residual(mesh):
+    """Conformity oracle: Q1 + hanging constraints reproduce a global linear
+    u = x exactly, so the condensed operator C^T A C applied to it must
+    vanish at every free (non-Dirichlet, non-slave) dof.  A dropped or wrong
+    constraint leaves a nonzero residual at the interface."""
+    from mfmg_tpu.ops.sparse import assemble_csr
+    prob = LaplaceProblem.from_mesh(mesh, "constant")
+    A_raw = assemble_csr(mesh.cells, prob.A_loc, mesh.n_nodes)
+    C = mesh.hanging.matrix(mesh.n_nodes) if mesh.hanging is not None else None
+    A_c = (C.T @ A_raw @ C) if C is not None else A_raw
+    u = mesh.nodes[:, 0]
+    r = np.asarray(A_c @ u)
+    free = ~mesh.constrained_mask
+    return np.abs(r[free]).max()
+
+
+def test_multi_sweep_keeps_prior_constraints():
+    """Second adaptive sweep away from the first interface: sweep-1 hanging
+    vertices remain constrained (the advisor's round-2 finding — they were
+    silently dropped), and the basis stays conforming (a global linear is
+    reproduced to roundoff)."""
+    from mfmg_tpu.fem.adaptive import refine_mesh
+
+    m1 = adaptive_cube(2, 3, _quadrant)          # 8x8, lower-left refined
+    h1_slaves = set(int(s) for s in m1.hanging.slaves)
+    n1 = m1.hanging.n
+
+    def far_corner(centers):                     # upper-right corner cell
+        return np.all(centers > 1.0 - 1.0 / 8, axis=1)
+
+    m2 = refine_mesh(m1, far_corner)
+    h2_slaves = set(int(s) for s in m2.hanging.slaves)
+    assert h1_slaves <= h2_slaves, "sweep-1 constraints were dropped"
+    assert m2.hanging.n > n1                     # plus the new interface
+    assert _linear_patch_residual(m2) < 1e-10
+
+
+def test_multi_sweep_releases_refined_coarse_side():
+    """Refining the coarse neighbor of an active interface releases its
+    hanging vertices (both sides now conform) and reuses the midpoint
+    vertices instead of duplicating them."""
+    from mfmg_tpu.fem.adaptive import refine_mesh
+
+    m1 = adaptive_cube(2, 2, _quadrant)          # 4x4, lower-left 2x2 refined
+    n_nodes_1 = m1.n_nodes
+
+    # refine every unrefined coarse cell -> uniformly fine, conforming mesh
+    def coarse_cells(centers):
+        return ~_quadrant(centers)
+
+    m2 = refine_mesh(m1, coarse_cells)
+    assert m2.hanging is None or m2.hanging.n == 0
+    # prior hanging midpoints were reused: the released slaves' coordinates
+    # appear exactly once in the new vertex table
+    _, counts = np.unique(np.round(m2.nodes, 12), axis=0, return_counts=True)
+    assert counts.max() == 1
+    assert _linear_patch_residual(m2) < 1e-10
+
+
+def test_multi_sweep_detects_2_irregular():
+    """Marking a cell on the FINE side of a still-active interface must raise
+    (deal.II auto-refines the coarse neighbor; we require the caller to)."""
+    from mfmg_tpu.fem.adaptive import refine_mesh
+
+    m1 = adaptive_cube(2, 2, _quadrant)
+    slave = int(m1.hanging.slaves[0])
+    a = int(m1.hanging.masters[0, 0])
+    # a fine-side cell that touches the hanging interface: contains the slave
+    touching = np.any(m1.cells == slave, axis=1)
+    assert touching.any()
+    marks = np.zeros(m1.n_cells, dtype=bool)
+    marks[np.nonzero(touching)[0][0]] = True
+    with pytest.raises(ValueError, match="2-irregular"):
+        refine_mesh(m1, marks)
+
+
+def test_multi_sweep_3d():
+    """3D second sweep away from the interface keeps face + edge constraints
+    and the basis stays conforming."""
+    from mfmg_tpu.fem.adaptive import refine_mesh
+
+    m1 = adaptive_cube(3, 1, _quadrant)          # 2x2x2, corner refined
+    n1 = m1.hanging.n
+
+    def far_corner(centers):
+        return np.all(centers > 0.5, axis=1)
+
+    m2 = refine_mesh(m1, far_corner)
+    assert m2.hanging.n > n1
+    assert int(np.sum(m2.hanging.n_masters == 4)) >= 3
+    assert _linear_patch_residual(m2) < 1e-10
