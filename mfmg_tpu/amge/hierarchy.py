@@ -160,15 +160,23 @@ class Hierarchy:
             fine_op = problem.ell_operator(dtype=self.dtype)
 
         num_levels = cfg.max_levels
-        # "amg"/"ml" coarse solver: the nested hierarchy the reference
-        # delegates to ML/AMGX (dealii_solver.cc:25-87, cuda_solver.cu:42-515)
-        # is built by CONTINUING the same AMGe recursion for
-        # coarse.max_levels - 1 extra levels; those levels are packaged into
-        # an AMGCoarseSolver below, applied as one nested V-cycle per outer
-        # coarse solve.  With coarse "max levels" == 1 this degenerates to
-        # the direct solver exactly (the reference's ML consistency oracle,
-        # test_hierarchy.cc:228-260).
-        amg_coarse = cfg.coarse.type.strip().lower() in ("amg", "ml", "amgx")
+        # Coarse-solver families (dealii_solver.cc:25-87, cuda_solver.cu:42-515):
+        #   "amg"/"amgx" — the nested hierarchy the reference delegates to
+        #     AMGX is built by CONTINUING the same AMGe recursion for
+        #     coarse.max_levels - 1 extra levels, packaged into an
+        #     AMGCoarseSolver below (one nested V-cycle per coarse solve).
+        #     With coarse "max levels" == 1 this degenerates to the direct
+        #     solver exactly.
+        #   "ml" — Trilinos ML's actual algorithm: SMOOTHED AGGREGATION on
+        #     the coarse matrix (solve/coarse._build_algebraic_amg), seeded
+        #     with the restricted fine-grid constant as the near-null
+        #     candidate (ML's default nullspace).  With coarse.params
+        #     "max levels" == 1 it degenerates to the direct solver exactly
+        #     (the reference's ML consistency oracle,
+        #     test_hierarchy.cc:228-260).
+        ctype = cfg.coarse.type.strip().lower()
+        amg_coarse = ctype in ("amg", "amgx")
+        ml_coarse = ctype == "ml"
         nested_extra = 0
         ml_knobs = None
         if amg_coarse:
@@ -196,7 +204,16 @@ class Hierarchy:
                 from mfmg_tpu.config import CoarseConfig
                 bottom_cfg = (CoarseConfig(type="direct") if amg_coarse
                               else cfg.coarse)
-                coarse = build_coarse_solver(A_c, bottom_cfg, dtype=self.dtype)
+                near_null = None
+                if ml_coarse:
+                    # ML's default nullspace is the constant vector; in the
+                    # AMGe coarse space that is the restricted fine constant
+                    R_comp = getattr(self, "_R_composed", None)
+                    near_null = (np.asarray(R_comp @ np.ones(R_comp.shape[1]))
+                                 if R_comp is not None and level > 0
+                                 else np.ones(A_c.shape[0]))
+                coarse = build_coarse_solver(A_c, bottom_cfg, dtype=self.dtype,
+                                             near_null=near_null)
                 _mark(f"coarse solver (n={A_c.shape[0]})")
                 self.levels.append(LevelData(op=self._op_to_device(op),
                                              coarse=coarse))

@@ -96,8 +96,11 @@ def parse_ml_params(coarse_cfg):
     (the reference passes the list to ML verbatim; we map it onto the nested
     hierarchy's knobs instead of dropping it silently)."""
     import warnings
+    # Defaults mirror ML_Epetra::SetDefaults("SA") where a knob maps:
+    # "smoother: sweeps" 2, symmetric Gauss-Seidel smoothing (see
+    # _build_algebraic_amg).
     knobs = dict(max_levels=coarse_cfg.max_levels,
-                 n_smoothing_steps=1, smoother_type=None,
+                 n_smoothing_steps=2, smoother_type=None,
                  nodes_per_aggregate=27, n_eigenvectors=2)
     for key, val in dict(getattr(coarse_cfg, "params", {}) or {}).items():
         if key in _ML_PARAM_KEYS:
@@ -130,9 +133,16 @@ def _build_algebraic_amg(A_c: sp.spmatrix, coarse_cfg, dtype, smoothed: bool,
     from mfmg_tpu.config import SmootherConfig
 
     knobs = parse_ml_params(coarse_cfg)
-    sm_type = (knobs["smoother_type"] or "chebyshev").strip().lower()
-    if sm_type not in ("chebyshev", "jacobi"):
-        sm_type = "chebyshev"          # ML smoother names (Gauss-Seidel etc.)
+    # ML smoother names -> TPU smoothers.  ML's SA default (and the
+    # reference's hidden raw-ML config) is symmetric Gauss-Seidel — realized
+    # here as the multicolor sweep; "Chebyshev"/"MLS" map to Chebyshev.
+    sm_raw = (knobs["smoother_type"] or "symmetric gauss-seidel").strip().lower()
+    if "gauss" in sm_raw or sm_raw in ("sgs", "sor", "ssor"):
+        sm_type = "symmetric gauss-seidel"
+    elif "jacobi" in sm_raw:
+        sm_type = "jacobi"
+    else:
+        sm_type = "chebyshev"          # Chebyshev / MLS / unknown
     n_ev = knobs["n_eigenvectors"]
 
     levels = []
@@ -208,8 +218,14 @@ def _build_algebraic_amg(A_c: sp.spmatrix, coarse_cfg, dtype, smoothed: bool,
         nonzero = np.diff(R.indptr) > 0
         R = R[nonzero]
         op = ell_from_scipy(A, dtype=dtype)
+        # Trilinos ML's Gauss-Seidel is lexicographic; use the faithful
+        # dense-triangular parity smoother at the small sizes SA levels have
+        # (multicolor beyond that — rates differ slightly, as any reordering)
+        coloring = ("lexicographic"
+                    if "gauss" in sm_type and A.shape[0] <= 4096
+                    else "multicolor")
         smoother = build_smoother(op, SmootherConfig(
-            type=sm_type, degree=2), dtype=dtype, A_scipy=A)
+            type=sm_type, degree=2, coloring=coloring), dtype=dtype, A_scipy=A)
         levels.append(LevelData(op=op, smoother=smoother,
                                 R=ell_from_scipy(R, dtype=dtype),
                                 RT=ell_from_scipy(R.T.tocsr(), dtype=dtype)))
