@@ -54,6 +54,8 @@ def _load():
             i64, i64, f64, f64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
         lib.ell_pack.argtypes = [i64, i32, f64, f64, i32,
                                  ctypes.c_int64, ctypes.c_int64]
+        lib.greedy_color.argtypes = [i32, f64, i32,
+                                     ctypes.c_int64, ctypes.c_int64]
         u8 = ctypes.POINTER(ctypes.c_uint8)
         lib.scatter_super_blocks.argtypes = [
             i64, i64, f32, f64, f64, f64,
@@ -210,3 +212,18 @@ def ell_pack(indptr, indices, data, n_rows, L):
                  _ptr(data, ctypes.c_double), _ptr(vals, ctypes.c_double),
                  _ptr(cols, ctypes.c_int32), n_rows, L)
     return vals, cols
+
+
+def greedy_color(cols, vals):
+    """Sequential greedy distance-1 coloring of an (n, L) ELL adjacency;
+    returns (n,) int32 colors or None if native kernels are unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    n, L = cols.shape
+    colors = np.full(n, -1, dtype=np.int32)
+    lib.greedy_color(_ptr(cols, ctypes.c_int32), _ptr(vals, ctypes.c_double),
+                     _ptr(colors, ctypes.c_int32), n, L)
+    return colors

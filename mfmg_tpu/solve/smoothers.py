@@ -51,8 +51,15 @@ class MulticolorGSSmoother:
     same-color dofs never couple makes each color update an independent
     vectorized Jacobi-like step, with the GS ordering carried between colors.
     Rates differ slightly from lexicographic SGS (as any reordering does) but
-    retain GS-quality smoothing.  Cost: one operator apply per color (and per
-    sweep direction when symmetric).
+    retain GS-quality smoothing.
+
+    Cost model: stencil operators use the MASKED SUBLATTICE sweep
+    (_stencil_color_sweep) — each color's residual is evaluated only on its
+    own strided sublattice, so a full forward sweep reads every stencil
+    coefficient exactly once (~1 operator apply of coefficient traffic, ~2
+    applies total with the x/pad traffic) instead of one full operator apply
+    per color (8 in 3D).  General (ELL / matrix-free) operators keep the
+    apply-per-color form.
 
     colors: (n,) int32 color index per dof; n_colors static.
     """
@@ -63,14 +70,62 @@ class MulticolorGSSmoother:
     symmetric: bool = dataclasses.field(metadata=dict(static=True), default=True)
 
     def apply(self, op, b, x):
+        from mfmg_tpu.ops.stencil import StencilOperator
         order = list(range(self.n_colors))
         if self.symmetric:
             order = order + order[::-1]
+        if isinstance(op, StencilOperator):
+            return _stencil_color_sweep(op, self.inv_diag, b, x, order)
         for c in order:
             r = apply_op(op, x) - b
             mask = self.colors == c
             x = jnp.where(mask, x - self.inv_diag * r, x)
         return x
+
+
+def _stencil_color_sweep(op, inv_diag, b, x, color_order):
+    """Gauss-Seidel sweep over lattice colors with per-color SUBLATTICE
+    residuals: color (cz..cx) updates x[c::base, ...] from
+    r_c = sum_i C_i[c::base] * x[c+off_i :: base] - b[c::base],
+    touching each coefficient plane element exactly once per full sweep.
+    Identical math (same ordering, same updates) to the masked
+    apply-per-color form, at ~1/n_colors of its traffic."""
+    grid = op.grid_shape
+    dim = len(grid)
+    k = max(max(abs(o) for o in off) for off in op.offsets)
+    base = k + 1
+    n_colors = base ** dim
+    assert len(set(color_order)) == n_colors, "lattice sweep needs lattice colors"
+
+    xg = x.reshape(grid)
+    bg = b.reshape(grid)
+    dg = inv_diag.reshape(grid)
+
+    def color_multi(c):
+        out = []
+        for _ in range(dim):
+            out.append(c % base)
+            c //= base
+        return tuple(reversed(out))        # (cz, .., cx) to match _color_operator
+
+    def sub(arr, c_mi, shift=(0,) * 64):
+        sl = []
+        for d in range(dim):
+            start = c_mi[d] + shift[d]
+            ext = (grid[d] - c_mi[d] + base - 1) // base
+            sl.append(slice(start, start + (ext - 1) * base + 1, base))
+        return arr[tuple(sl)]
+
+    for c in color_order:
+        c_mi = color_multi(c)
+        xp = jnp.pad(xg, k)
+        r = -sub(bg, c_mi)
+        for i, off in enumerate(op.offsets):
+            shift = tuple(k + o for o in off)
+            r = r + sub(op.coeffs[i], c_mi) * sub(xp, c_mi, shift)
+        sl = tuple(slice(c_mi[d], None, base) for d in range(dim))
+        xg = xg.at[sl].add(-sub(dg, c_mi) * r)
+    return xg.reshape(x.shape)
 
 
 @jax.tree_util.register_dataclass
@@ -189,13 +244,25 @@ def _color_operator(op):
         vals = np.asarray(op.vals)
         cols = np.asarray(op.cols)
         n = vals.shape[0]
-        colors = -np.ones(n, dtype=np.int64)
-        for i in range(n):
-            nbr_colors = {int(colors[c]) for c, v in zip(cols[i], vals[i]) if v != 0 and c != i}
+        from mfmg_tpu import native
+        colors = native.greedy_color(cols, vals)
+        if colors is None:
+            # vectorized fallback: Luby-style maximal-independent-set rounds
+            # by random priority (O(rounds * nnz) numpy, no Python-per-row
+            # loop; a few more colors than sequential greedy is fine)
+            rng = np.random.default_rng(0)
+            pri = rng.permutation(n).astype(np.int64)
+            adj = (vals != 0) & (cols != np.arange(n)[:, None])
+            colors = np.full(n, -1, dtype=np.int64)
+            remaining = np.ones(n, dtype=bool)
             c = 0
-            while c in nbr_colors:
+            while remaining.any():
+                nb_pri = np.where(adj & remaining[cols], pri[cols], -1)
+                winners = remaining & (pri[:, None] > nb_pri).all(axis=1)
+                colors[winners] = c
+                remaining &= ~winners
                 c += 1
-            colors[i] = c
+        colors = colors.astype(np.int64)
         return jnp.asarray(colors.astype(np.int32)), int(colors.max()) + 1
     raise TypeError(f"cannot color operator type {type(op)}")
 

@@ -281,6 +281,36 @@ void scatter_super_blocks_f64(
   }
 }
 
+// Greedy distance-1 graph coloring over an ELL adjacency (sequential
+// first-fit — the classical greedy; O(nnz)).  vals==0 entries and the
+// diagonal are skipped.  colors must be -1-initialized by the caller.
+void greedy_color(
+    const int32_t* cols,            // (n, L)
+    const double* vals,             // (n, L)
+    int32_t* colors,                // (n,) init -1
+    int64_t n, int64_t L)
+{
+  std::vector<int32_t> mark;        // color -> last row that marked it
+  mark.reserve(64);
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t* ci = cols + i * L;
+    const double* vi = vals + i * L;
+    for (int64_t k = 0; k < L; ++k) {
+      if (vi[k] == 0.0) continue;
+      const int32_t c = ci[k];
+      if (c == i) continue;
+      const int32_t nc = colors[c];
+      if (nc >= 0) {
+        if ((int64_t)mark.size() <= nc) mark.resize(nc + 1, -1);
+        mark[nc] = (int32_t)i;
+      }
+    }
+    int32_t col = 0;
+    while (col < (int32_t)mark.size() && mark[col] == (int32_t)i) ++col;
+    colors[i] = col;
+  }
+}
+
 // CSR -> ELL packing.
 void ell_pack(
     const int64_t* indptr,          // (n_rows+1,)
