@@ -153,9 +153,19 @@ class Hierarchy:
             # estimate); _op_to_device pushes them exactly once at level
             # finalization — a d2h readback costs ~50 s at 2.1M on tunneled
             # runtimes (4.4 MB/s), h2d is ~1.7 s.
+            raw = None
+            if self._distributed():
+                # extraction is additive over cells: scatter own cell range,
+                # sum-reduce planes across processes before elimination
+                from mfmg_tpu.ops.stencil import stencil_layout
+                from mfmg_tpu.parallel import dist_setup
+                offsets, oid_ab, _, n_nodes = stencil_layout(problem.mesh)
+                raw = dist_setup.distributed_stencil_planes(
+                    problem.mesh, problem.A_loc, len(offsets), n_nodes, oid_ab)
             fine_op = stencil_from_cell_matrices(
                 problem.mesh, problem.A_loc, problem.constrained,
-                problem.diag_raw, dtype=coeff_dt, device=False)
+                problem.diag_raw, dtype=coeff_dt, device=False,
+                raw_planes=raw)
         else:
             fine_op = problem.ell_operator(dtype=self.dtype)
 
@@ -243,10 +253,18 @@ class Hierarchy:
                     galerkin_product_from_blocks)
                 batch, evals, evecs = self._level0_eigendata
                 dof_rows, dof_vals = _dof_row_structure(R)
-                blocks = agg_galerkin_blocks(batch, dof_rows, dof_vals,
-                                             R.shape[0], eliminate=False)
-                A_coarse = galerkin_product_from_blocks(blocks, R.shape[0])
-                self._level0_blocks = blocks
+                if self._distributed():
+                    # additive over agglomerates: slab blocks + COO reduce
+                    from mfmg_tpu.parallel import dist_setup
+                    batch_slab, _ = self._dist_slab
+                    A_coarse = dist_setup.distributed_galerkin(
+                        batch_slab, dof_rows, dof_vals, R.shape[0])
+                    self._level0_blocks = None
+                else:
+                    blocks = agg_galerkin_blocks(batch, dof_rows, dof_vals,
+                                                 R.shape[0], eliminate=False)
+                    A_coarse = galerkin_product_from_blocks(blocks, R.shape[0])
+                    self._level0_blocks = blocks
             else:
                 A_coarse = (R @ self._A_per_level[level] @ R.T).tocsr()
             self._A_per_level.append(A_coarse)
@@ -315,10 +333,28 @@ class Hierarchy:
         if level == 0:
             agg_ids = build_agglomerates(problem.mesh, cfg.agglomeration)
             batch_dtype = np.float64 if self.dtype == jnp.float64 else np.float32
-            batch = build_agglomerate_batch(problem.mesh, problem.A_loc, agg_ids,
-                                            batch_dtype=batch_dtype)
-            check_restriction(batch, problem.diag_raw, problem.n_dofs)
-            evals, evecs = self._eigensolve(batch)
+            if self._distributed():
+                # each process assembles + eigensolves only its slab; the
+                # eigenvectors are all-gathered (amge.templates.hpp:596-643)
+                from mfmg_tpu.parallel import dist_setup
+                n_agg = int(agg_ids.max()) + 1
+                lo, hi, bounds = dist_setup.slab_range(n_agg)
+                batch_slab = build_agglomerate_batch(
+                    problem.mesh, problem.A_loc, agg_ids,
+                    batch_dtype=batch_dtype, agg_range=(lo, hi))
+                batch = build_agglomerate_batch(
+                    problem.mesh, problem.A_loc, agg_ids,
+                    batch_dtype=batch_dtype, assemble_operator=False)
+                check_restriction(batch, problem.diag_raw, problem.n_dofs)
+                evals, evecs = dist_setup.distributed_eigensolve(
+                    batch, batch_slab, bounds, self._eigensolve)
+                self._dist_slab = (batch_slab, bounds)
+            else:
+                batch = build_agglomerate_batch(problem.mesh, problem.A_loc,
+                                                agg_ids,
+                                                batch_dtype=batch_dtype)
+                check_restriction(batch, problem.diag_raw, problem.n_dofs)
+                evals, evecs = self._eigensolve(batch)
             self._level0_agg_ids = agg_ids
             self._level0_eigendata = (batch, evals, evecs)
             R = build_restriction(batch, evecs, problem.diag_raw, problem.n_dofs)
@@ -330,6 +366,8 @@ class Hierarchy:
         # ML/AMGX; here the same construction recurses, amge/multilevel.py).
         from mfmg_tpu.amge.multilevel import build_recursive_restriction
         prev_batch = self._level0_eigendata[0] if level == 1 else None
+        if prev_batch is not None and prev_batch.A_agg is None:
+            prev_batch = None            # distributed setup: light batch only
         prev_blocks = getattr(self, "_level0_blocks", None) if level == 1 else None
         R_l, cell_super, super_grid = build_recursive_restriction(
             problem.mesh, problem.A_loc, self._cell_agg, self._R_composed,
@@ -340,6 +378,13 @@ class Hierarchy:
         self._R_composed = (R_l @ self._R_composed).tocsr()
         self._super_grid_xyz = super_grid
         return R_l
+
+    def _distributed(self) -> bool:
+        """Distributed setup is active: configured AND >1 jax process."""
+        if not self.config.distributed_setup:
+            return False
+        import jax
+        return jax.process_count() > 1
 
     def _constrained_mode(self) -> str:
         mode = self.config.eigensolver.constrained_mode

@@ -54,7 +54,9 @@ class AgglomerateBatch:
 
 
 def build_agglomerate_batch(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray,
-                            batch_dtype=np.float64) -> AgglomerateBatch:
+                            batch_dtype=np.float64,
+                            agg_range=None,
+                            assemble_operator: bool = True) -> AgglomerateBatch:
     """Assemble local dense operators for every agglomerate.
 
     A_loc: (n_cells, n_loc, n_loc) cell stiffness matrices (raw / Neumann).
@@ -68,18 +70,36 @@ def build_agglomerate_batch(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray,
     memory traffic through the eigensolve and Galerkin blocks; the PoU
     diagonals are always accumulated in float64 (the partition-of-unity
     identity is checked to 1e-12).
+
+    agg_range: optional (lo, hi) — build ONLY agglomerates lo..hi-1 (the
+    distributed-setup slab path, parallel/dist_setup.py: each process
+    assembles and eigensolves its own contiguous agglomerate slab).
+
+    assemble_operator=False skips the dense A_agg assembly (A_agg = None):
+    the "light" batch carrying only dof_map/diag/valid/constrained — what
+    restriction assembly, the PoU check and the structured transfers need —
+    used by the distributed setup for the agglomerates other processes own.
     """
-    fast = _try_build_structured(mesh, A_loc, agg_ids, batch_dtype)
+    fast = _try_build_structured(mesh, A_loc, agg_ids, batch_dtype,
+                                 agg_range=agg_range,
+                                 assemble_operator=assemble_operator)
     if fast is not None:
         return fast
     batch = _build_generic(mesh, A_loc, agg_ids)
-    if np.dtype(batch_dtype) != np.float64:
+    if agg_range is not None:
+        lo, hi = agg_range
+        batch = AgglomerateBatch(
+            dof_map=batch.dof_map[lo:hi], valid=batch.valid[lo:hi],
+            A_agg=batch.A_agg[lo:hi], diag=batch.diag[lo:hi],
+            constrained=batch.constrained[lo:hi], sizes=batch.sizes[lo:hi])
+    if np.dtype(batch_dtype) != np.float64 and batch.A_agg is not None:
         batch.A_agg = batch.A_agg.astype(batch_dtype)
     return batch
 
 
 def _try_build_structured(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray,
-                          batch_dtype=np.float64):
+                          batch_dtype=np.float64, agg_range=None,
+                          assemble_operator: bool = True):
     """Vectorized batch build for uniform blocks on a structured grid."""
     if not mesh.is_structured:
         return None
@@ -121,6 +141,10 @@ def _try_build_structured(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray,
     gstride = np.cumprod(np.concatenate([[1], nc[:-1]]))
     agg_origin_mi = np.stack(np.meshgrid(*[np.arange(a) for a in n_agg_dim], indexing="ij"),
                              axis=-1).reshape(-1, dim, order="F") * bdims
+    if agg_range is not None:
+        lo, hi = agg_range
+        agg_origin_mi = agg_origin_mi[lo:hi]
+        n_agg = hi - lo
     cells_per_agg = (agg_origin_mi[:, None, :] + bc[None, :, :]) @ gstride  # (n_agg, n_bc)
 
     # global dof map per agglomerate (lexicographic local order)
@@ -132,6 +156,16 @@ def _try_build_structured(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray,
 
     # batched dense assembly: native kernel, numpy scatter-add fallback
     from mfmg_tpu import native
+    if not assemble_operator:
+        diag = np.zeros((n_agg, m))
+        d_loc = np.einsum("cii->ci", A_loc)[cells_per_agg]
+        np.add.at(diag, (np.broadcast_to(np.arange(n_agg)[:, None, None], d_loc.shape),
+                         np.broadcast_to(local_cells[None], d_loc.shape)), d_loc)
+        return AgglomerateBatch(
+            dof_map=dof_map, valid=np.ones((n_agg, m), dtype=bool),
+            A_agg=None, diag=diag,
+            constrained=mesh.constrained_mask[dof_map],
+            sizes=np.full(n_agg, m, dtype=np.int64))
     A_agg = native.assemble_agglomerate_batch_uniform(
         cells_per_agg, local_cells, A_loc, n_agg, m, dtype=batch_dtype)
     if A_agg is None:

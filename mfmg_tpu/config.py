@@ -174,6 +174,12 @@ class Config:
     # Device compute dtype for the apply path ("float32"/"float64"/"bfloat16").
     # Setup always runs in float64 on host.
     dtype: str = "float64"
+    # Distribute the level-0 setup across jax.distributed processes (each
+    # process assembles + eigensolves only its own contiguous agglomerate
+    # slab; eigenvectors / Galerkin contributions are all-gathered — the
+    # analog of the reference's MPI-decomposed setup,
+    # amge.templates.hpp:596-643).  No effect with a single process.
+    distributed_setup: bool = False
     # Storage dtype for the stencil coefficient planes INSIDE the hierarchy
     # (the V-cycle preconditioner).  "bfloat16" halves the dominant HBM
     # stream of the fine-level apply; the outer CG residual always uses a

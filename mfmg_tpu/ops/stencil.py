@@ -108,10 +108,32 @@ def _stencil_apply_xla(op: StencilOperator, x: jax.Array) -> jax.Array:
     return y.reshape(x.shape)
 
 
+def stencil_layout(mesh: Mesh):
+    """Static scatter layout of the structured-mesh stencil extraction:
+    (offsets [(z..x) shifts], oid_ab [(a,b)->offset plane], grid_shape,
+    n_nodes).  Shared by the local and the distributed extraction paths."""
+    k = mesh.degree
+    nc = mesh.structured_shape
+    dim = mesh.dim
+    n1 = tuple(k * c + 1 for c in nc)          # nodes per dim, x first
+    grid_shape = tuple(reversed(n1))           # C-order: (z, y, x)
+    n_nodes = int(np.prod(n1))
+
+    from mfmg_tpu.fem.reference import reference_element
+    lm = reference_element(dim, k).local_multi_index     # (n_loc, dim) x first
+    doff = lm[None, :, :] - lm[:, None, :]               # (a, b, dim) x first
+    offsets = list(itertools.product(*[range(-k, k + 1)] * dim))  # (z,..,x)
+    oid_ab = np.zeros(doff.shape[:2], dtype=np.int64)
+    for d in range(dim - 1, -1, -1):           # (z,..,x) enumeration order
+        oid_ab = oid_ab * (2 * k + 1) + (doff[:, :, d] + k)
+    return offsets, oid_ab, grid_shape, n_nodes
+
+
 def stencil_from_cell_matrices(mesh: Mesh, A_loc: np.ndarray,
                                constrained: np.ndarray, diag_raw: np.ndarray,
                                dtype=jnp.float32,
-                               device: bool = True) -> StencilOperator:
+                               device: bool = True,
+                               raw_planes: np.ndarray | None = None) -> StencilOperator:
     """Exact stencil extraction straight from the per-cell matrices — the
     global CSR is never assembled (the matrix-free setup path,
     dealii_matrix_free_hierarchy_helpers.cc:55-303 analog).
@@ -138,28 +160,22 @@ def stencil_from_cell_matrices(mesh: Mesh, A_loc: np.ndarray,
     if not mesh.is_structured:
         raise ValueError("stencil operator requires a structured mesh")
     k = mesh.degree
-    nc = mesh.structured_shape
-    dim = mesh.dim
-    n1 = tuple(k * c + 1 for c in nc)          # nodes per dim, x first
-    grid_shape = tuple(reversed(n1))           # C-order: (z, y, x)
-    n_nodes = int(np.prod(n1))
+    offsets, oid_ab, grid_shape, n_nodes = stencil_layout(mesh)
 
-    from mfmg_tpu.fem.reference import reference_element
-    lm = reference_element(dim, k).local_multi_index     # (n_loc, dim) x first
-    doff = lm[None, :, :] - lm[:, None, :]               # (a, b, dim) x first
-    offsets = list(itertools.product(*[range(-k, k + 1)] * dim))  # (z,..,x)
-    oid_ab = np.zeros(doff.shape[:2], dtype=np.int64)
-    for d in range(dim - 1, -1, -1):           # (z,..,x) enumeration order
-        oid_ab = oid_ab * (2 * k + 1) + (doff[:, :, d] + k)
-
-    rows = mesh.cells.astype(np.int64)                   # (n_cells, n_loc)
-    from mfmg_tpu import native
-    coeffs = native.stencil_scatter(rows, oid_ab, A_loc, len(offsets), n_nodes)
-    if coeffs is None:
-        flat = oid_ab[None, :, :] * n_nodes + rows[:, :, None]
-        coeffs = np.bincount(flat.reshape(-1), weights=A_loc.reshape(-1),
-                             minlength=len(offsets) * n_nodes)
-        coeffs = coeffs.reshape(len(offsets), n_nodes)
+    if raw_planes is not None:
+        # distributed setup: planes already scattered per cell range and
+        # sum-reduced across processes (parallel/dist_setup.py)
+        coeffs = np.array(raw_planes, dtype=np.float64)
+    else:
+        rows = mesh.cells.astype(np.int64)               # (n_cells, n_loc)
+        from mfmg_tpu import native
+        coeffs = native.stencil_scatter(rows, oid_ab, A_loc, len(offsets),
+                                        n_nodes)
+        if coeffs is None:
+            flat = oid_ab[None, :, :] * n_nodes + rows[:, :, None]
+            coeffs = np.bincount(flat.reshape(-1), weights=A_loc.reshape(-1),
+                                 minlength=len(offsets) * n_nodes)
+            coeffs = coeffs.reshape(len(offsets), n_nodes)
 
     # Dirichlet elimination in stencil form
     con = constrained.reshape(grid_shape)

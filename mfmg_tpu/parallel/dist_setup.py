@@ -1,0 +1,137 @@
+"""Distributed (multi-process) level-0 setup.
+
+The reference's entire setup runs under MPI domain decomposition: each rank
+builds only its own agglomerates, and the restriction matrix is assembled by
+allgathering the per-rank row counts and rows
+(/root/reference/include/mfmg/common/amge.templates.hpp:596-643).
+
+TPU-native analog over ``jax.distributed`` processes:
+
+  * the agglomerates are split into contiguous slabs (the block walk is
+    x->y->z, so a contiguous id range IS a spatial slab);
+  * each process assembles only its slab's dense batch and eigensolves it —
+    the dominant setup cost scales 1/P;
+  * the slab eigenvectors are exchanged with ONE padded device all-gather
+    (multihost_utils.process_allgather — the analog of the reference's
+    MPI_Allgather), after which every process assembles the full R locally
+    (cheap: one scatter of nnz values);
+  * the matrix-free Galerkin product A_c = R A R^T is additive over
+    agglomerates, so each process computes only its slab's Galerkin blocks
+    and the coarse matrix is summed by all-gathering the slab COO triplets;
+  * the fine stencil extraction is additive over CELLS: each process
+    scatters its own cell range and the coefficient planes are
+    sum-all-gathered before Dirichlet elimination.
+
+Enabled by ``Config.distributed_setup`` (auto-activates only when
+``jax.process_count() > 1``); the apply-side SPMD sharding
+(parallel/spmd.py) is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def slab_range(n: int, pid: int | None = None, nproc: int | None = None):
+    """Contiguous [lo, hi) slab of n items for this process (+ all bounds)."""
+    import jax
+
+    nproc = nproc if nproc is not None else jax.process_count()
+    pid = pid if pid is not None else jax.process_index()
+    bounds = np.linspace(0, n, nproc + 1).astype(int)
+    return int(bounds[pid]), int(bounds[pid + 1]), bounds
+
+
+def _gather_padded(arr: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """All-gather per-process leading-axis slabs of possibly unequal size:
+    pad to the max slab, one device all-gather, reassemble in slab order."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    counts = np.diff(bounds)
+    m = int(counts.max())
+    pad = np.zeros((m,) + arr.shape[1:], dtype=arr.dtype)
+    pad[: arr.shape[0]] = arr
+    gathered = np.asarray(multihost_utils.process_allgather(jnp.asarray(pad)))
+    # (nproc, m, ...) -> trim each slab to its true count
+    return np.concatenate([gathered[p, : counts[p]]
+                           for p in range(len(counts))], axis=0)
+
+
+def _allreduce_sum(arr: np.ndarray) -> np.ndarray:
+    """Sum a same-shape host array across processes (one device gather)."""
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    g = np.asarray(multihost_utils.process_allgather(jnp.asarray(arr)))
+    return g.sum(axis=0)
+
+
+def distributed_eigensolve(batch_full_light, batch_slab, bounds, eigensolve):
+    """Eigensolve only this process's slab; all-gather (evals, evecs).
+
+    batch_full_light carries the full dof_map/diag (cheap, closed-form);
+    batch_slab carries this slab's dense operators.
+    """
+    evals_s, evecs_s = eigensolve(batch_slab)
+    evals = _gather_padded(np.asarray(evals_s, dtype=np.float64), bounds)
+    evecs = _gather_padded(np.asarray(evecs_s, dtype=np.float64), bounds)
+    return evals, evecs
+
+
+def distributed_galerkin(batch_slab, dof_rows, dof_vals, n_rows):
+    """Slab contribution to A_c = R A R^T, summed across processes.
+
+    Assembly is additive over agglomerates, so each process scatters only
+    its own slab's Galerkin blocks; the COO triplets are all-gathered and
+    summed (the small-coarse-matrix analog of Trilinos compress)."""
+    import scipy.sparse as sp
+    from mfmg_tpu.amge.multilevel import (agg_galerkin_blocks,
+                                          galerkin_product_from_blocks)
+
+    blocks = agg_galerkin_blocks(batch_slab, dof_rows, dof_vals, n_rows,
+                                 eliminate=False)
+    A_part = galerkin_product_from_blocks(blocks, n_rows).tocoo()
+    # pad COO to the global max nnz and gather
+    import jax
+    nnz = np.array([A_part.nnz], dtype=np.int64)
+    from jax.experimental import multihost_utils
+    import jax.numpy as jnp
+    all_nnz = np.asarray(multihost_utils.process_allgather(jnp.asarray(nnz)))
+    m = int(all_nnz.max())
+    rows = np.zeros(m, dtype=np.int64)
+    cols = np.zeros(m, dtype=np.int64)
+    vals = np.zeros(m, dtype=np.float64)
+    rows[: A_part.nnz] = A_part.row
+    cols[: A_part.nnz] = A_part.col
+    vals[: A_part.nnz] = A_part.data
+    g_rows = np.asarray(multihost_utils.process_allgather(jnp.asarray(rows)))
+    g_cols = np.asarray(multihost_utils.process_allgather(jnp.asarray(cols)))
+    g_vals = np.asarray(multihost_utils.process_allgather(jnp.asarray(vals)))
+    counts = all_nnz[:, 0]
+    r = np.concatenate([g_rows[p, : counts[p]] for p in range(len(counts))])
+    c = np.concatenate([g_cols[p, : counts[p]] for p in range(len(counts))])
+    v = np.concatenate([g_vals[p, : counts[p]] for p in range(len(counts))])
+    A = sp.csr_matrix((v, (r, c)), shape=(n_rows, n_rows))
+    A.sum_duplicates()
+    A.eliminate_zeros()
+    return A
+
+
+def distributed_stencil_planes(mesh, A_loc, n_offsets: int, n_nodes: int,
+                               oid_ab: np.ndarray) -> np.ndarray:
+    """Raw (un-eliminated) stencil planes from this process's cell range,
+    sum-reduced across processes (extraction is additive over cells)."""
+    lo, hi, _ = slab_range(mesh.n_cells)
+    rows = mesh.cells[lo:hi].astype(np.int64)
+    from mfmg_tpu import native
+    coeffs = native.stencil_scatter(rows, oid_ab, A_loc[lo:hi],
+                                    n_offsets, n_nodes)
+    if coeffs is None:
+        flat = oid_ab[None, :, :] * n_nodes + rows[:, :, None]
+        coeffs = np.bincount(flat.reshape(-1),
+                             weights=A_loc[lo:hi].reshape(-1),
+                             minlength=n_offsets * n_nodes)
+        coeffs = coeffs.reshape(n_offsets, n_nodes)
+    return _allreduce_sum(coeffs)

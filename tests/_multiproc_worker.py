@@ -69,6 +69,35 @@ def main():
         err = np.abs(got - expect).max()
         assert err <= tol, (pid, shard.index, err)
 
+    # ---- distributed setup: each process builds only its agglomerate slab
+    # (the analog of the reference's MPI-decomposed setup,
+    # amge.templates.hpp:596-643) and the result matches the replicated
+    # setup bitwise-close.
+    import dataclasses
+
+    from mfmg_tpu.amge.hierarchy import measure_vcycle_rate
+
+    cfg_d = dataclasses.replace(cfg, distributed_setup=True)
+    hier_d = Hierarchy(prob, cfg_d)
+    assert hier_d._distributed()
+    # the slab really was a slab (not the whole batch)
+    batch_slab, bounds = hier_d._dist_slab
+    n_agg = hier_d._level0_eigendata[0].n_agg
+    assert batch_slab.n_agg < n_agg or nproc == 1, (batch_slab.n_agg, n_agg)
+    assert hier_d._level0_eigendata[0].A_agg is None      # light full batch
+    # restriction and coarse operator match the replicated setup
+    R_r = hier._R_composed
+    R_d = hier_d._R_composed
+    assert (R_r != R_d).nnz == 0 or abs(R_r - R_d).max() < 1e-12
+    dA = abs(hier._A_per_level[1] - hier_d._A_per_level[1]).max()
+    assert dA < 1e-11, dA
+    # the V-cycle rate agrees
+    # (the distributed Galerkin COO reduce sums in a different order, so the
+    # coarse operator differs at float64 roundoff — rates agree to ~1e-9)
+    r_ref = measure_vcycle_rate(hier, n_cycles=10, seed=0)
+    r_dist = measure_vcycle_rate(hier_d, n_cycles=10, seed=0)
+    assert abs(r_ref - r_dist) < 1e-8, (r_ref, r_dist)
+
     print(f"MULTIPROC-OK pid={pid}/{nproc} devices={n_devices}", flush=True)
 
 
