@@ -199,7 +199,11 @@ def main():
         n_l = lvl.op.shape[0]
         deg = cfg.smoother.degree
         nss = cfg.smoother.n_smoothing_steps
-        n_apply = 2 * nss * (2 * deg - 1) + 1   # cheb pre+post + residual
+        # Chebyshev smoother.apply = 1 residual apply + (deg-1) inner applies
+        # = deg operator applies per smoothing step (pre + post), plus the
+        # V-cycle residual.  (Round 2 counted 2*deg-1 per step — an
+        # overstatement that inflated pct_of_sol.)
+        n_apply = 2 * nss * deg + 1
         b = n_apply * _op_bytes(lvl.op)
         b += 2 * nss * deg * n_l * 4            # inv-diag reads per cheb term
         if lvl.transfer is not None:

@@ -57,89 +57,74 @@ class StructuredTransfer:
         return structured_prolong(self, xc)
 
 
-def _window_slices(t, strides, agg_shape):
-    return tuple(slice(td, td + sd * (ad - 1) + 1, sd)
-                 for td, sd, ad in zip(t, strides, agg_shape))
+def _selection_matrix(naa: int, w: int, s: int, g: int) -> np.ndarray:
+    """((a, t) -> grid) window-selection operator: S[a*w + t, a*s + t] = 1."""
+    S = np.zeros((naa * w, g), dtype=np.float64)
+    a = np.repeat(np.arange(naa), w)
+    t = np.tile(np.arange(w), naa)
+    S[a * w + t, a * s + t] = 1.0
+    return S
+
+
+def _sel_mats(tr: StructuredTransfer, dtype):
+    s = tuple(w - 1 for w in tr.window_shape)
+    return [jnp.asarray(_selection_matrix(tr.agg_shape[d], tr.window_shape[d],
+                                          s[d], tr.grid_shape[d]), dtype=dtype)
+            for d in range(len(tr.agg_shape))]
+
+
+_HI = jax.lax.Precision.HIGHEST     # selection matmuls must be exact, and the
+                                    # TPU default einsum precision is bf16
 
 
 @jax.jit
 def structured_restrict(tr: StructuredTransfer, x: jax.Array) -> jax.Array:
-    """Windowed contraction via block reshaping: instead of prod(window)
-    strided-slice kernels (125 for 4x4x4 Q1 blocks — latency-bound), pad the
-    grid by one block per axis, reshape to (blocks, within) pairs, and do one
-    einsum per window-corner subset (2^dim total).  Windows overlap their
-    upper neighbors by one plane; corner subsets read within-index 0 of the
-    shifted block."""
+    """Windowed contraction as a chain of per-axis SELECTION MATMULS:
+    the overlapped 5^3-stride-4 windows are materialized by multiplying each
+    grid axis with a ((a,t) x grid) 0/1 operator — three MXU matmuls — then
+    one fused mul-reduce against the per-agglomerate weights.  Measured at
+    65^3/4^3 blocks on v5e: 75 us vs 185 us for the round-2 corner-subset
+    einsum decomposition (whose 2^dim blocked-reshape concats are relayout-
+    bound) and 3.3 ms for conv_general_dilated_patches."""
     dim = len(tr.agg_shape)
-    s = tuple(w - 1 for w in tr.window_shape)
-    na = tr.agg_shape
-    xg = x.reshape(tr.grid_shape)
-    # pad to (na+1) blocks of s per axis
-    xp = jnp.pad(xg, [(0, (a + 1) * sd - g)
-                      for a, sd, g in zip(na, s, tr.grid_shape)])
-    shape6 = []
-    for a, sd in zip(na, s):
-        shape6 += [a + 1, sd]
-    xb = xp.reshape(shape6)                      # (bz, tz, by, ty, bx, tx)
-
-    letters_b = ["u", "v", "w"][:dim]
-    letters_t = ["i", "j", "l"][:dim]
-    spec_w = "e" + "".join(letters_t) + "".join(letters_b)
-    spec_x = "".join(letters_b[d] + letters_t[d] for d in range(dim))
-    spec_o = "e" + "".join(letters_b)
-    out = jnp.zeros((tr.n_ev,) + na, dtype=x.dtype)
-    for S in itertools.product(*[(0, 1)] * dim):
-        # W index: t_d = s_d (singleton) if S_d else 0..s_d-1
-        w_idx = tuple(
-            (slice(s[d], s[d] + 1) if S[d] else slice(0, s[d]))
-            for d in range(dim))
-        Wp = tr.W[(slice(None),) + w_idx]        # (e, tz', ty', tx', az, ay, ax)
-        # x blocks: shifted by 1 in axes of S, within-index 0 there
-        xb_idx = []
-        for d in range(dim):
-            if S[d]:
-                xb_idx += [slice(1, na[d] + 1), slice(0, 1)]
-            else:
-                xb_idx += [slice(0, na[d]), slice(None)]
-        xs = xb[tuple(xb_idx)]                   # (bz, tz', by, ty', bx, tx')
-        out = out + jnp.einsum(f"{spec_w},{spec_x}->{spec_o}", Wp, xs)
-    perm = tuple(range(1, dim + 1)) + (0,)
-    return out.transpose(perm).reshape(-1)
+    na, win = tr.agg_shape, tr.window_shape
+    t = x.reshape(tr.grid_shape)
+    for d, S in enumerate(_sel_mats(tr, x.dtype)):
+        t = jnp.moveaxis(jnp.tensordot(S, t, axes=((1,), (d,)),
+                                       precision=_HI), 0, d)
+    shape = []
+    for d in range(dim):
+        shape += [na[d], win[d]]
+    xw = t.reshape(shape)                         # (u, i, v, j, [w, k])
+    lt = ["i", "j", "k"][:dim]
+    lb = ["u", "v", "w"][:dim]
+    spec = ("e" + "".join(lt) + "".join(lb) + ","
+            + "".join(lb[d] + lt[d] for d in range(dim))
+            + "->" + "".join(lb) + "e")
+    out = jnp.einsum(spec, tr.W, xw, precision=_HI)
+    return out.reshape(-1)
 
 
 @jax.jit
 def structured_prolong(tr: StructuredTransfer, xc: jax.Array) -> jax.Array:
+    """Exact linear transpose of structured_restrict, written directly as the
+    reverse chain (weights contraction, then per-axis transposed-selection
+    matmuls — overlap-add happens inside the S^T matmul)."""
     dim = len(tr.agg_shape)
-    strides = tuple(w - 1 for w in tr.window_shape)
-    na = tr.agg_shape
-    # coarse vector -> (e, az, ay, ax)
+    na, win = tr.agg_shape, tr.window_shape
     xcg = xc.reshape(na + (tr.n_ev,))
-    perm = (dim,) + tuple(range(dim))
-    xcg = xcg.transpose(perm)
-    # per-window contributions C[t, a] = sum_e W[e,t,a] * xc[e,a]
-    C = jnp.einsum("e...,e...->...", tr.W.reshape((tr.n_ev, -1) + na),
-                   xcg[:, None])                      # (n_t, az, ay, ax)
-    C = C.reshape(tr.window_shape + na)
-
-    # Overlap-add into the extended block grid: D[t<s, a in [0..na]] where
-    # each corner subset S contributes C[t with t_d = s_d for d in S] shifted
-    # one block along the axes in S.
-    D = jnp.zeros(strides + tuple(a + 1 for a in na), dtype=xc.dtype)
-    for S in itertools.product(*[(False, True)] * dim):
-        t_sel = tuple(slice(sd, sd + 1) if inS else slice(0, sd)
-                      for sd, inS in zip(strides, S))
-        piece = C[t_sel]
-        pad = [( (0, 0) )] * dim + [((1, 0) if inS else (0, 1)) for inS in S]
-        piece = jnp.pad(piece, pad)
-        dst = tuple(slice(0, 1) if inS else slice(None) for inS in S)
-        D = D.at[dst].add(piece)
-    # (tz, ty, tx, az+1, ay+1, ax+1) -> (az+1, tz, ay+1, ty, ax+1, tx)
-    order = []
-    for d in range(dim):
-        order.extend([dim + d, d])
-    D = D.transpose(order)
-    y_ext = D.reshape(tuple((a + 1) * s for a, s in zip(na, strides)))
-    return y_ext[tuple(slice(0, g) for g in tr.grid_shape)].reshape(-1)
+    lt = ["i", "j", "k"][:dim]
+    lb = ["u", "v", "w"][:dim]
+    spec = ("e" + "".join(lt) + "".join(lb) + ","
+            + "".join(lb) + "e->"
+            + "".join(lb[d] + lt[d] for d in range(dim)))
+    C = jnp.einsum(spec, tr.W, xcg, precision=_HI)
+    shape = tuple(na[d] * win[d] for d in range(dim))
+    t = C.reshape(shape)
+    for d, S in enumerate(_sel_mats(tr, xc.dtype)):
+        t = jnp.moveaxis(jnp.tensordot(S, t, axes=((0,), (d,)),
+                                       precision=_HI), 0, d)
+    return t.reshape(-1)
 
 
 # Dense-transfer size cap: below this many entries the coarse-level transfer
