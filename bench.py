@@ -61,7 +61,12 @@ def main():
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '')}")
 
     prob = LaplaceProblem.hyper_cube(3, N_REF, material_property="linear")
+    # bf16 coefficient planes halve the dominant HBM stream of the V-cycle
+    # preconditioner; the outer CG residual uses the exact f32 operator
+    # (Hierarchy._exact_fine_op), and PCG iterations are measured unchanged
+    # (10 at 274k with either storage).
     cfg = Config(operator="stencil", dtype="float32", max_levels=MAX_LEVELS,
+                 coeff_dtype="bfloat16",
                  smoother=SmootherConfig(type="chebyshev", degree=2),
                  agglomeration=AgglomerationConfig(nx=4, ny=4, nz=4),
                  coarse=CoarseConfig(type="direct"))

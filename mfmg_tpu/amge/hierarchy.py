@@ -135,6 +135,13 @@ class Hierarchy:
         fast_ap = cfg.fast_ap
         if fast_ap is None:
             fast_ap = cfg.operator in mf_types
+        if getattr(problem.mesh, "hanging", None) is not None:
+            # Hanging meshes: the coarse operator must be Galerkin in the
+            # CONDENSED matrix (master rows carry w A w corrections the raw
+            # per-agglomerate blocks don't see), so the Galerkin product goes
+            # through the assembled condensed A; the fine-level APPLY stays
+            # matrix-free (C^T A C cell-wise, ops/local_apply.py).
+            fast_ap = False
         self._fast_ap = fast_ap
         matrix_free_setup = fast_ap and cfg.operator in mf_types
 

@@ -117,18 +117,37 @@ class LaplaceProblem:
 
     def matrix_free_operator(self, dtype=jnp.float64, mode: str = "local_matrix") -> MatrixFreeOperator:
         """Matrix-free operator (analog of DealIIMatrixFreeOperator vmult via
-        the user's matrix_free_evaluate_global)."""
+        the user's matrix_free_evaluate_global).
+
+        Hanging-node meshes apply the condensed C^T A C cell-wise (the
+        reference's MatrixFree + AffineConstraints path,
+        tests/laplace.hpp:126-141): see ops/local_apply.py.
+        """
+        hc_kw = {}
         if self.mesh.hanging is not None:
-            raise NotImplementedError(
-                "matrix-free operators on hanging-node meshes are not "
-                "supported yet; use the assembled path (Config.operator="
-                "'ell') which condenses the constraints")
+            h = self.mesh.hanging
+            # condensed-operator diagonal (master rows pick up w A w
+            # corrections); one host extraction at setup from the lazily
+            # assembled condensed matrix — the APPLY stays cell-wise
+            hc_kw = dict(
+                hc_slaves=jnp.asarray(h.slaves, dtype=jnp.int32),
+                hc_masters=jnp.asarray(
+                    np.where(np.arange(h.masters.shape[1])[None]
+                             < h.n_masters[:, None], h.masters, 0),
+                    dtype=jnp.int32),
+                hc_weights=jnp.asarray(
+                    np.where(np.arange(h.masters.shape[1])[None]
+                             < h.n_masters[:, None], h.weights, 0.0),
+                    dtype=dtype),
+                diag_all=jnp.asarray(np.asarray(self.A.diagonal()), dtype=dtype),
+            )
         if mode == "local_matrix":
             return MatrixFreeOperator(
                 cells=jnp.asarray(self.mesh.cells),
                 constrained=jnp.asarray(self.mesh.boundary_dofs),
                 diag=jnp.asarray(self.diag_raw, dtype=dtype),
                 A_loc=jnp.asarray(self.A_loc, dtype=dtype),
+                **hc_kw,
             )
         elif mode == "quadrature":
             return MatrixFreeOperator(
@@ -137,6 +156,7 @@ class LaplaceProblem:
                 diag=jnp.asarray(self.diag_raw, dtype=dtype),
                 G=jnp.asarray(self.geom.G, dtype=dtype),
                 scale=jnp.asarray(self.geom.JxW * self.coeff_at_q, dtype=dtype),
+                **hc_kw,
             )
         elif mode == "sumfac":
             from mfmg_tpu.ops.sumfac import build_sumfac_operator

@@ -42,6 +42,18 @@ class MatrixFreeOperator:
     scale : (n_cells, n_q) JxW*coeff or None (quadrature mode)
     constrained : (n_dofs,) bool mask of Dirichlet dofs
     diag : (n_dofs,) matrix diagonal (raw values at constrained dofs)
+
+    Hanging-node meshes (the reference applies these through deal.II
+    MatrixFree + AffineConstraints, tests/laplace.hpp:126-141): the optional
+    hc_* fields carry the constraints u[slave] = sum_m w * u[master], and the
+    apply becomes the condensed C^T A C cell-wise — distribute into slaves,
+    raw cell apply, collect slave rows into masters — matching the assembled
+    condensed matrix to roundoff.
+      hc_slaves  : (n_h,) int32
+      hc_masters : (n_h, m_max) int32, zero-padded
+      hc_weights : (n_h, m_max), zero-padded
+      diag_all   : (n_dofs,) full diagonal of the CONDENSED eliminated
+                   operator (master rows pick up w A w corrections)
     """
 
     cells: jax.Array
@@ -50,6 +62,10 @@ class MatrixFreeOperator:
     A_loc: jax.Array | None = None
     G: jax.Array | None = None
     scale: jax.Array | None = None
+    hc_slaves: jax.Array | None = None
+    hc_masters: jax.Array | None = None
+    hc_weights: jax.Array | None = None
+    diag_all: jax.Array | None = None
 
     @property
     def shape(self):
@@ -63,6 +79,10 @@ class MatrixFreeOperator:
 @jax.jit
 def mf_apply(op: MatrixFreeOperator, u: jax.Array) -> jax.Array:
     uz = jnp.where(op.constrained, 0.0, u)
+    if op.hc_slaves is not None:
+        # C x: interpolate slaves from (already Dirichlet-zeroed) masters
+        interp = jnp.einsum("hm,hm->h", op.hc_weights, uz[op.hc_masters])
+        uz = uz.at[op.hc_slaves].set(interp)
     u_loc = uz[op.cells]                                    # (c, nl)
     if op.A_loc is not None:
         y_loc = jnp.einsum("cij,cj->ci", op.A_loc, u_loc)
@@ -71,6 +91,14 @@ def mf_apply(op: MatrixFreeOperator, u: jax.Array) -> jax.Array:
         t = t * op.scale[..., None]
         y_loc = jnp.einsum("cqdi,cqd->ci", op.G, t)
     y = jnp.zeros_like(u).at[op.cells.reshape(-1)].add(y_loc.reshape(-1))
+    if op.hc_slaves is not None:
+        # C^T y: collect slave-row contributions into masters, then identity
+        # rows (raw diag at slaves, condensed diag at Dirichlet dofs)
+        ys = y[op.hc_slaves]
+        y = y.at[op.hc_masters.reshape(-1)].add(
+            (op.hc_weights * ys[:, None]).reshape(-1))
+        y = y.at[op.hc_slaves].set(op.diag[op.hc_slaves] * u[op.hc_slaves])
+        return jnp.where(op.constrained, op.diag_all * u, y)
     return jnp.where(op.constrained, op.diag * u, y)
 
 
@@ -82,6 +110,8 @@ def mf_diagonal(op: MatrixFreeOperator) -> jax.Array:
     (laplace_matrix_free.hpp:158-199); with batched local data the diagonal is
     just a scatter-add of the local matrix diagonals.
     """
+    if op.diag_all is not None:
+        return op.diag_all            # hanging meshes: condensed diagonal
     if op.A_loc is not None:
         d_loc = jnp.einsum("cii->ci", op.A_loc)
     else:
