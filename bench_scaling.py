@@ -56,6 +56,8 @@ def main(argv=None):
     p.add_argument("--devices", type=int, nargs="+", default=None)
     p.add_argument("--n-ref", type=int, default=4)
     p.add_argument("--weak", action="store_true")
+    p.add_argument("--mesh-2d", action="store_true",
+                   help="2-D (z,y) pencil decomposition: P -> (P//2, 2) mesh")
     p.add_argument("--cpu", action="store_true",
                    help="force the virtual CPU mesh (default when <2 accelerators)")
     args = p.parse_args(argv)
@@ -89,7 +91,8 @@ def main(argv=None):
                      agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2),
                      coarse=CoarseConfig(type="direct"))
         hier = Hierarchy(prob, cfg)
-        sv = build_spmd_vcycle(hier, n_devices=P)
+        mesh_shape = ((P // 2, 2) if args.mesh_2d and P >= 4 else None)
+        sv = build_spmd_vcycle(hier, n_devices=P, mesh_shape=mesh_shape)
         dt = measure(sv, prob.n_dofs)
         rec = {"devices": P, "n_dofs": prob.n_dofs,
                "ms_per_vcycle": None if dt is None else dt * 1e3,

@@ -1,18 +1,21 @@
-"""SPMD stencil V-cycle: slab decomposition + ppermute halo exchange.
+"""SPMD stencil V-cycle: slab/pencil decomposition + ppermute halo exchange.
 
 The TPU-native analog of the reference's MPI domain decomposition with ghost
 exchange (reference §2.4).  Where the reference CUDA path all-gathers the
 whole source vector per SpMV (sparse_matrix_device.templates.cuh:104-138) and
 its AMGX path builds one-ring halo maps (cuda_solver.cu:264-443), here the
-structured node grid is sharded into z-slabs over a 1-D device mesh and each
-stencil apply exchanges exactly the k boundary planes with its two neighbors
-via `lax.ppermute` — the one-ring pattern, on ICI, overlappable with interior
-compute by XLA.
+structured node grid is sharded over a 1-D ("x") or 2-D ("x","y") device
+mesh — z-slabs, or (z,y) pencils past the slab surface-to-volume wall at
+high device counts — and each stencil apply exchanges exactly the k boundary
+planes with its neighbors via `lax.ppermute`, per sharded axis in sequence
+(the second exchange carries the first axis's halo along, which covers the
+corner/edge exchanges).  The one-ring pattern, on ICI, overlappable with
+interior compute by XLA.
 
-Layout: the z axis is padded to naz_pad = P*ceil((naz+1)/P)-ish agglomerate
-windows of sz planes each (padded planes carry zero stencil coefficients and
-zero restriction weights, so padded dofs remain exactly zero and contribute
-nothing), giving every device an identical window-aligned slab.  The coarse
+Layout: every sharded axis is padded to P_d * ceil(.) agglomerate windows of
+s_d planes each (padded planes carry zero stencil coefficients and zero
+restriction weights, so padded dofs remain exactly zero and contribute
+nothing), giving every device an identical window-aligned block.  The coarse
 problem is replicated (all-gather of the small coarse residual), matching the
 reference's gathered direct coarse solves.  Prolongation is generated as the
 exact linear transpose of the sharded restriction (jax.linear_transpose), so
@@ -22,6 +25,7 @@ XLA emits the reversed ppermute/scatter pattern automatically.
 from __future__ import annotations
 
 import dataclasses
+import itertools
 from functools import partial
 
 import jax
@@ -40,26 +44,32 @@ except ImportError:                         # pragma: no cover
 
 @dataclasses.dataclass
 class SpmdVcycle:
-    """Jitted V-cycle over slab-sharded grid vectors."""
+    """Jitted V-cycle over slab/pencil-sharded grid vectors."""
 
     mesh: Mesh
-    grid_shape: tuple              # padded (gz_pad, ny, nx)
+    grid_shape: tuple              # padded (gz_pad, [gy_pad,] ..., nx)
     orig_grid: tuple
     fn: object                     # (b_grid, x_grid) -> x_grid (jitted)
 
     def to_grid(self, v_flat):
         g = np.zeros(self.grid_shape, dtype=np.asarray(v_flat).dtype)
-        g[: self.orig_grid[0]] = np.asarray(v_flat).reshape(self.orig_grid)
-        return jax.device_put(jnp.asarray(g), NamedSharding(self.mesh, P("x")))
+        g[tuple(slice(0, o) for o in self.orig_grid)] = (
+            np.asarray(v_flat).reshape(self.orig_grid))
+        spec = P(*self.mesh.axis_names)
+        return jax.device_put(jnp.asarray(g), NamedSharding(self.mesh, spec))
 
     def from_grid(self, g):
-        return np.asarray(g)[: self.orig_grid[0]].reshape(-1)
+        return np.asarray(g)[tuple(slice(0, o) for o in self.orig_grid)].reshape(-1)
 
 
-def build_spmd_vcycle(hier, n_devices: int | None = None, devices=None) -> SpmdVcycle:
-    """Build the sharded V-cycle from a 2-level stencil-path 3D Hierarchy
-    (Config(operator="stencil"), dense direct coarse solver)."""
-    from mfmg_tpu.parallel.sharding import make_mesh
+def build_spmd_vcycle(hier, n_devices: int | None = None, devices=None,
+                      mesh_shape: tuple | None = None) -> SpmdVcycle:
+    """Build the sharded V-cycle from a stencil-path Hierarchy
+    (Config(operator="stencil"), dense direct coarse solver).
+
+    mesh_shape: (P,) for z-slabs (default), (Pz, Py) for a 2-D pencil
+    decomposition of the grid (VERDICT round-2 item #9: slabs hit the
+    surface-to-volume wall at high device counts)."""
     from mfmg_tpu.solve.coarse import DirectCoarseSolver
     from mfmg_tpu.solve.smoothers import ChebyshevSmoother, JacobiSmoother
 
@@ -69,98 +79,130 @@ def build_spmd_vcycle(hier, n_devices: int | None = None, devices=None) -> SpmdV
     if not isinstance(hier.levels[-1].coarse, DirectCoarseSolver):
         raise ValueError("SPMD V-cycle needs the direct coarse solver")
 
-    mesh = make_mesh(n_devices, devices)
-    Pn = int(mesh.devices.size)
+    if devices is None:
+        devices = jax.devices()[: (n_devices or len(jax.devices()))]
+    devices = np.asarray(devices)
+    if mesh_shape is None:
+        mesh_shape = (devices.size,)
+    n_shard = len(mesh_shape)
     op: StencilOperator = lvl0.op
     tr: StructuredTransfer = lvl0.transfer
     sm = lvl0.smoother
+    dim = len(op.grid_shape)
+    if dim not in (2, 3):
+        raise ValueError("SPMD V-cycle supports 2D and 3D grids")
+    if not (1 <= n_shard <= 2) or n_shard >= dim:
+        raise ValueError(f"mesh_shape {mesh_shape} must shard 1..min(2, dim-1) axes")
+    if int(np.prod(mesh_shape)) != devices.size:
+        raise ValueError("mesh_shape does not match the device count")
+
+    names = ("x", "y")[:n_shard]
+    mesh = Mesh(devices.reshape(mesh_shape), axis_names=names)
+    Pd = tuple(int(p) for p in mesh_shape)
+
     # levels >= 1 run replicated per device (they are tiny relative to the
     # fine grid: one agglomerate-grid dof per s^dim fine nodes); only the
     # 2-level case reduces to the bare inverse matvec.
     levels_rest = tuple(hier.levels[1:])
-    inv = hier.levels[-1].coarse.inv
     dtype = op.coeffs.dtype
 
-    import itertools
-
-    dim = len(op.grid_shape)
-    if dim not in (2, 3):
-        raise ValueError("SPMD V-cycle supports 2D and 3D grids")
-    gz = op.grid_shape[0]                       # slab axis (z in 3D, y in 2D)
-    rest_grid = op.grid_shape[1:]
+    rest_grid = op.grid_shape[n_shard:]
+    rest_agg = tr.agg_shape[n_shard:]
     k = max(max(abs(o) for o in off) for off in op.offsets)
-    naz = tr.agg_shape[0]
-    rest_agg = tr.agg_shape[1:]
-    wz = tr.window_shape[0]
-    sz = wz - 1
     strides = tuple(w - 1 for w in tr.window_shape)
     n_ev = tr.n_ev
 
-    # window-aligned padded slab layout (see module docstring)
-    naz_pad = Pn * (-(-naz // Pn))
-    if naz_pad * sz < gz:                      # final real plane must fit
-        naz_pad += Pn
-    gz_pad = naz_pad * sz
-    naz_loc = naz_pad // Pn
-    nz_loc = naz_loc * sz
+    # window-aligned padded layout per sharded axis (see module docstring)
+    na_pad, g_pad, na_loc, n_loc_ax = [], [], [], []
+    for d in range(n_shard):
+        s_d, na_d, g_d = strides[d], tr.agg_shape[d], op.grid_shape[d]
+        npad = Pd[d] * (-(-na_d // Pd[d]))
+        if npad * s_d < g_d:                   # final real plane must fit
+            npad += Pd[d]
+        na_pad.append(npad)
+        g_pad.append(npad * s_d)
+        na_loc.append(npad // Pd[d])
+        n_loc_ax.append((npad // Pd[d]) * s_d)
 
-    def padz(arr, axis):
+    def _pad_to(arr, axis, target):
         pw = [(0, 0)] * arr.ndim
-        pw[axis] = (0, gz_pad - arr.shape[axis])
+        pw[axis] = (0, target - arr.shape[axis])
         return jnp.pad(arr, pw)
 
-    coeffs_p = padz(op.coeffs, 1)
-    inv_diag_p = padz(sm.inv_diag.reshape(op.grid_shape), 0)
-    W_pad = jnp.pad(tr.W, [(0, 0)] * (1 + dim)
-                    + [(0, naz_pad - naz)] + [(0, 0)] * (dim - 1))
+    coeffs_p = op.coeffs
+    inv_diag_p = sm.inv_diag.reshape(op.grid_shape)
+    W_pad = tr.W
+    for d in range(n_shard):
+        coeffs_p = _pad_to(coeffs_p, 1 + d, g_pad[d])
+        inv_diag_p = _pad_to(inv_diag_p, d, g_pad[d])
+        W_pad = _pad_to(W_pad, 1 + dim + d, na_pad[d])
 
-    shard3 = P(*(("x",) + (None,) * (dim - 1)))
-    spec_coeff = P(*((None, "x") + (None,) * (dim - 1)))
-    spec_W = P(*((None,) * (1 + dim) + ("x",) + (None,) * (dim - 1)))
+    none_rest = (None,) * (dim - n_shard)
+    shard_grid = P(*(names + none_rest))
+    spec_coeff = P(*((None,) + names + none_rest))
+    spec_W = P(*((None,) * (1 + dim) + names + none_rest))
     smap = partial(_shard_map, mesh=mesh)
 
     # ------------------------------------------------------------- apply --
-    def _halo(x_loc, width):
-        up = jax.lax.ppermute(x_loc[-width:], "x", [(i, i + 1) for i in range(Pn - 1)])
-        down = jax.lax.ppermute(x_loc[:width], "x", [(i, i - 1) for i in range(1, Pn)])
-        return jnp.concatenate([up, x_loc, down], axis=0)
+    def _halo_pair(arr, width, axis, name, P_ax):
+        """Append both neighbors' boundary planes along `axis` (one-ring)."""
+        lo = jax.lax.slice_in_dim(arr, arr.shape[axis] - width,
+                                  arr.shape[axis], axis=axis)
+        hi = jax.lax.slice_in_dim(arr, 0, width, axis=axis)
+        up = jax.lax.ppermute(lo, name, [(i, i + 1) for i in range(P_ax - 1)])
+        down = jax.lax.ppermute(hi, name, [(i, i - 1) for i in range(1, P_ax)])
+        return jnp.concatenate([up, arr, down], axis=axis)
 
     def apply_loc(c_loc, x_loc):
-        x_ext = _halo(x_loc, k)
-        xp = jnp.pad(x_ext, ((0, 0),) + ((k, k),) * (dim - 1))
+        x_ext = x_loc
+        for d in range(n_shard):
+            x_ext = _halo_pair(x_ext, k, d, names[d], Pd[d])
+        xp = jnp.pad(x_ext, ((0, 0),) * n_shard + ((k, k),) * (dim - n_shard))
         terms = None
         for i, off in enumerate(op.offsets):
-            sl = (slice(k + off[0], k + off[0] + nz_loc),) + tuple(
-                slice(k + o, k + o + g) for o, g in zip(off[1:], rest_grid))
+            sl = tuple(slice(k + off[d], k + off[d] + n_loc_ax[d])
+                       for d in range(n_shard)) + tuple(
+                slice(k + o, k + o + g)
+                for o, g in zip(off[n_shard:], rest_grid))
             t = c_loc[i] * xp[sl]
             terms = t if terms is None else terms + t
         return terms
 
     @jax.jit
     def apply_fn(coeffs, x):
-        return smap(apply_loc, in_specs=(spec_coeff, shard3), out_specs=shard3)(coeffs, x)
+        return smap(apply_loc, in_specs=(spec_coeff, shard_grid),
+                    out_specs=shard_grid)(coeffs, x)
 
     # --------------------------------------------------------- restriction --
     def restrict_loc(W_loc, x_loc):
-        # one halo plane from the slab above (windows close on its first row)
-        top = jax.lax.ppermute(x_loc[:1], "x", [(i, i - 1) for i in range(1, Pn)])
-        x_ext = jnp.concatenate([x_loc, top], axis=0)
-        out = jnp.zeros((n_ev, naz_loc) + rest_agg, dtype=x_loc.dtype)
+        # one halo plane per sharded axis from the block above (windows close
+        # on its first row); sequential exchange carries corners along
+        x_ext = x_loc
+        for d in range(n_shard):
+            top = jax.lax.ppermute(
+                jax.lax.slice_in_dim(x_ext, 0, 1, axis=d),
+                names[d], [(i, i - 1) for i in range(1, Pd[d])])
+            x_ext = jnp.concatenate([x_ext, top], axis=d)
+        out = jnp.zeros((n_ev,) + tuple(na_loc) + rest_agg, dtype=x_loc.dtype)
         for t in itertools.product(*[range(w) for w in tr.window_shape]):
-            sl = (slice(t[0], t[0] + sz * (naz_loc - 1) + 1, sz),) + tuple(
+            sl = tuple(
+                slice(t[d], t[d] + strides[d] * (na_loc[d] - 1) + 1, strides[d])
+                for d in range(n_shard)) + tuple(
                 slice(td, td + sd * (ad - 1) + 1, sd)
-                for td, sd, ad in zip(t[1:], strides[1:], rest_agg))
+                for td, sd, ad in zip(t[n_shard:], strides[n_shard:], rest_agg))
             xs = x_ext[sl]
             out = out + W_loc[(slice(None),) + t] * xs[None]
         return out
 
     @jax.jit
     def restrict_fn(W, x):
-        loc = smap(restrict_loc, in_specs=(spec_W, shard3),
-                   out_specs=P(*((None, "x") + (None,) * (dim - 1))))(W, x)
+        loc = smap(restrict_loc, in_specs=(spec_W, shard_grid),
+                   out_specs=P(*((None,) + names + none_rest)))(W, x)
         full = jax.lax.with_sharding_constraint(loc, NamedSharding(mesh, P()))
-        # real agglomerates only, (a_slab, ..., e) flat order
-        return jnp.moveaxis(full[:, :naz], 0, -1).reshape(-1)
+        # real agglomerates only, (a_z, [a_y,] ..., e) flat order
+        trim = (slice(None),) + tuple(slice(0, tr.agg_shape[d])
+                                      for d in range(n_shard))
+        return jnp.moveaxis(full[trim], 0, -1).reshape(-1)
 
     # Prolongation = R^T is generated inside vcycle_fn via linear_transpose
     # of the sharded restriction with W as a traced ARGUMENT — closing over
@@ -199,13 +241,14 @@ def build_spmd_vcycle(hier, n_devices: int | None = None, devices=None) -> SpmdV
 
     n_smooth = hier.config.smoother.n_smoothing_steps
     cycle_type = hier.config.cycle_type
+    grid_padded = tuple(g_pad) + rest_grid
 
     @jax.jit
     def vcycle_fn(coeffs, W, rest, b, x):
         from mfmg_tpu.amge.hierarchy import _cycle
         restrict_T = jax.linear_transpose(
             lambda v: restrict_fn(W, v),
-            jax.ShapeDtypeStruct((gz_pad,) + rest_grid, dtype))
+            jax.ShapeDtypeStruct(grid_padded, dtype))
         for _ in range(n_smooth):
             x = smooth(coeffs, b, x)
         res = apply_fn(coeffs, x) - b
@@ -221,6 +264,6 @@ def build_spmd_vcycle(hier, n_devices: int | None = None, devices=None) -> SpmdV
             x = smooth(coeffs, b, x)
         return x
 
-    return SpmdVcycle(mesh=mesh, grid_shape=(gz_pad,) + rest_grid,
+    return SpmdVcycle(mesh=mesh, grid_shape=grid_padded,
                       orig_grid=op.grid_shape,
                       fn=partial(vcycle_fn, coeffs_p, W_pad, levels_rest))

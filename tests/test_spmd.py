@@ -136,3 +136,48 @@ def test_spmd_2d_matches_single_device(n_devices):
     sv = build_spmd_vcycle(hier, n_devices=n_devices)
     out = sv.from_grid(sv.fn(sv.to_grid(b), sv.to_grid(x0)))
     np.testing.assert_allclose(out, ref, atol=1e-12 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2), (4, 2), (2, 4)])
+def test_spmd_2axis_pencils_match_single_device(mesh_shape):
+    """2-D (z,y) pencil decomposition with corner-carrying sequential halo
+    exchange reproduces the single-device V-cycle bitwise-close (round-2
+    verdict item #9: slabs hit the surface-to-volume wall at high device
+    counts)."""
+    prob = LaplaceProblem.hyper_cube(3, 3, material_property="linear")
+    cfg = Config(operator="stencil", dtype="float64", is_preconditioner=False,
+                 smoother=SmootherConfig(type="chebyshev", degree=2),
+                 agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2))
+    hier = Hierarchy(prob, cfg)
+    rng = np.random.default_rng(3)
+    b = rng.uniform(size=prob.n_dofs)
+    b[prob.constrained] = 0.0
+    x0 = rng.uniform(size=prob.n_dofs)
+    x0[prob.constrained] = 0.0
+    ref = np.asarray(ref_vcycle(hier.levels, jnp.asarray(b), jnp.asarray(x0),
+                                n_smoothing_steps=1, is_preconditioner=False))
+    n_dev = int(np.prod(mesh_shape))
+    sv = build_spmd_vcycle(hier, n_devices=n_dev, mesh_shape=mesh_shape)
+    assert sv.mesh.devices.shape == mesh_shape
+    out = sv.from_grid(sv.fn(sv.to_grid(b), sv.to_grid(x0)))
+    np.testing.assert_allclose(out, ref, atol=1e-12 * np.abs(ref).max())
+
+
+def test_spmd_2axis_multilevel_matches(setup_3d):
+    """3-level hierarchy on a 2-D pencil mesh."""
+    prob = LaplaceProblem.hyper_cube(3, 3, material_property="linear")
+    cfg = Config(operator="stencil", dtype="float64", is_preconditioner=False,
+                 max_levels=3,
+                 smoother=SmootherConfig(type="chebyshev", degree=2),
+                 agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2))
+    hier = Hierarchy(prob, cfg)
+    rng = np.random.default_rng(4)
+    b = rng.uniform(size=prob.n_dofs)
+    b[prob.constrained] = 0.0
+    x0 = rng.uniform(size=prob.n_dofs)
+    x0[prob.constrained] = 0.0
+    ref = np.asarray(ref_vcycle(hier.levels, jnp.asarray(b), jnp.asarray(x0),
+                                n_smoothing_steps=1, is_preconditioner=False))
+    sv = build_spmd_vcycle(hier, n_devices=4, mesh_shape=(2, 2))
+    out = sv.from_grid(sv.fn(sv.to_grid(b), sv.to_grid(x0)))
+    np.testing.assert_allclose(out, ref, atol=1e-12 * np.abs(ref).max())
