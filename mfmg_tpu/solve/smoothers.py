@@ -53,13 +53,16 @@ class MulticolorGSSmoother:
     Rates differ slightly from lexicographic SGS (as any reordering does) but
     retain GS-quality smoothing.
 
-    Cost model: stencil operators use the MASKED SUBLATTICE sweep
-    (_stencil_color_sweep) — each color's residual is evaluated only on its
-    own strided sublattice, so a full forward sweep reads every stencil
-    coefficient exactly once (~1 operator apply of coefficient traffic, ~2
-    applies total with the x/pad traffic) instead of one full operator apply
-    per color (8 in 3D).  General (ELL / matrix-free) operators keep the
-    apply-per-color form.
+    Cost model: on CPU/host backends, stencil operators use the MASKED
+    SUBLATTICE sweep (_stencil_color_sweep) — each color's residual is
+    evaluated only on its own strided sublattice, so a full forward sweep
+    reads every stencil coefficient exactly once (~2 operator applies of
+    total traffic) instead of one full operator apply per color (8 in 3D).
+    On TPU the stride-2 minor-axis slices the sublattice needs are
+    lane-hostile (Mosaic relayouts measured 3800x a stencil apply at 129^3),
+    so the masked apply-per-color form is kept there; the production TPU
+    smoother is Chebyshev (as in the reference's matrix-free path) — GS
+    exists for parity and for host-side runs.
 
     colors: (n,) int32 color index per dof; n_colors static.
     """
@@ -74,7 +77,8 @@ class MulticolorGSSmoother:
         order = list(range(self.n_colors))
         if self.symmetric:
             order = order + order[::-1]
-        if isinstance(op, StencilOperator):
+        if (isinstance(op, StencilOperator)
+                and jax.default_backend() != "tpu"):
             return _stencil_color_sweep(op, self.inv_diag, b, x, order)
         for c in order:
             r = apply_op(op, x) - b

@@ -72,6 +72,16 @@ def test_ball_hierarchy_rates_near_reference():
         which no reference test pins down.  (On the hyper_cube the 8-step
         estimate is numbering-insensitive, which is why the cube golden
         matches at 1e-5, tests/test_hierarchy.py.)
+      * round-3 close-out: an ensemble probe over candidate deal.II
+        numberings (first-touch over all 12 sampled coarse-cell orderings
+        of the 7-cube table, plus identity and our creation order) gives
+        rates 0.311..0.409 — NONE lands within 1e-2 of 0.2981, so the
+        literal golden also encodes deal.II internals beyond the numbering
+        (likely its exact ball cell table entering the estimate).  Without
+        deal.II ground truth (no reference test records the numbering or
+        matrix), the honest assertion remains our pinned golden plus the
+        containment interval; the MATRIX-path ball goldens below are pinned
+        two-sided (our rates are strictly better).
     """
     prob = LaplaceProblem.from_mesh(hyper_ball(3, 2), "constant")
     cfg = Config(is_preconditioner=False,
@@ -90,6 +100,23 @@ def test_ball_hierarchy_rates_near_reference():
     rate_sgs = measure_vcycle_rate(Hierarchy(prob, cfg_sgs), 20, seed=0)
     # multicolor SGS beats the reference's lexicographic SGS golden (0.1148)
     assert rate_sgs < 0.1148148381, rate_sgs
+
+
+def test_ball_matrix_path_goldens_two_sided():
+    """Matrix-path ball goldens (test_hierarchy.cc:347,360: arpack
+    0.1149021369 / lanczos 0.1148148381) pinned two-sided: the sequential
+    (lexicographic) GS hierarchy in our numbering converges strictly FASTER
+    than the reference's rate, and our own rate is pinned so regressions are
+    caught."""
+    prob = LaplaceProblem.from_mesh(hyper_ball(3, 2), "constant")
+    cfg = Config(is_preconditioner=False, operator="ell",
+                 eigensolver=EigensolverConfig(constrained_mode="pin"),
+                 smoother=SmootherConfig(type="gauss-seidel",
+                                         coloring="lexicographic"),
+                 agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2))
+    rate = measure_vcycle_rate(Hierarchy(prob, cfg), 20, seed=0)
+    assert rate < 0.1148148381, rate                    # never worse than ref
+    assert rate == pytest.approx(0.1026, abs=5e-3), rate   # our pinned golden
 
 
 def test_distorted_ball_valid():
