@@ -171,6 +171,56 @@ class LexicographicGSSmoother:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class ILUSmoother:
+    """ILU(0) smoother — the reference's fourth host smoother option
+    (dealii_smoother.cc:38-52, smoother.type "ILU" -> Trilinos Ifpack ILU
+    with fill level 0).
+
+    The factors keep the sparsity pattern of A (classical IKJ ILU(0),
+    computed on the host at setup); the apply is
+    ``x += (LU)^{-1} (b - A x)`` with the triangular solves run DENSE on
+    device — like LexicographicGSSmoother this is the parity/oracle form
+    (triangular solves are inherently sequential; at production scale the
+    TPU smoother is Chebyshev), capped at small n.
+    """
+
+    L: jax.Array                          # unit lower triangular, dense
+    U: jax.Array                          # upper triangular, dense
+
+    def apply(self, op, b, x):
+        r = apply_op(op, x) - b           # negative residual
+        y = jax.scipy.linalg.solve_triangular(self.L, r, lower=True,
+                                              unit_diagonal=True)
+        y = jax.scipy.linalg.solve_triangular(self.U, y, lower=False)
+        return x - y
+
+
+def _ilu0_factor(A_csr):
+    """Classical IKJ ILU(0): factors confined to A's sparsity pattern.
+    Host, setup time; returns dense (L unit-lower, U upper)."""
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A_csr).astype(np.float64)
+    n = A.shape[0]
+    lu = A.toarray()
+    pattern = lu != 0
+    for i in range(1, n):
+        row_k = np.nonzero(pattern[i, :i])[0]
+        for k in row_k:
+            piv = lu[k, k]
+            if piv == 0.0:
+                continue
+            m = lu[i, k] / piv
+            lu[i, k] = m
+            upd = pattern[i, k + 1:] & pattern[k, k + 1:]
+            lu[i, k + 1:][upd] -= m * lu[k, k + 1:][upd]
+    L = np.tril(lu, -1) + np.eye(n)
+    U = np.triu(lu)
+    return L, U
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class ChebyshevSmoother:
     inv_diag: jax.Array
     theta: jax.Array          # (lmax + lmin) / 2 of D^{-1}A interval
@@ -539,6 +589,19 @@ def build_smoother(op, smoother_cfg, dtype=jnp.float64, A_scipy=None,
         return MulticolorGSSmoother(inv_diag=inv_diag, colors=colors,
                                     n_colors=n_colors,
                                     symmetric=symmetric)
+    if stype == "ilu":
+        if A_scipy is None:
+            raise ValueError("ILU smoothing needs the assembled matrix "
+                             "(operator='ell' path)")
+        n = A_scipy.shape[0]
+        if n > 8192:
+            raise ValueError(
+                f"ILU(0) stores dense triangular factors (n={n} > 8192); it "
+                f"is the reference-parity smoother option — use Chebyshev "
+                f"at scale")
+        L, U = _ilu0_factor(A_scipy)
+        return ILUSmoother(L=jnp.asarray(L, dtype=dtype),
+                           U=jnp.asarray(U, dtype=dtype))
     if stype == "chebyshev":
         if smoother_cfg.max_eigenvalue is not None:
             lmax = float(smoother_cfg.max_eigenvalue)

@@ -109,3 +109,31 @@ def test_native_greedy_color_valid_and_fast():
     mask = (A.row != A.col) & (A.data != 0)
     assert not np.any(colors[A.row[mask]] == colors[A.col[mask]])
     assert colors.max() + 1 <= 16     # greedy stays near-lattice-optimal
+
+
+def test_ilu0_smoother():
+    """ILU(0) — the reference's fourth host smoother option
+    (dealii_smoother.cc:38-52).  The factors reproduce A exactly on A's
+    sparsity pattern (the ILU(0) defining property), the smoother contracts
+    as a standalone iteration, and the 2-level hierarchy with ILU smoothing
+    lands in the same rate regime as the reference's SGS configs."""
+    import scipy.sparse as sp
+    from mfmg_tpu.config import Config, EigensolverConfig
+    from mfmg_tpu.solve.smoothers import _ilu0_factor
+
+    prob = LaplaceProblem.hyper_cube(3, 2, material_property="constant")
+    A = prob.A
+    L, U = _ilu0_factor(A)
+    R = L @ U - A.toarray()
+    # defect confined OUTSIDE the pattern (fill positions)
+    assert np.abs(R[np.asarray(A.todense()) != 0]).max() < 1e-12
+
+    cfg = Config(operator="ell", is_preconditioner=False,
+                 eigensolver=EigensolverConfig(constrained_mode="pin"),
+                 smoother=SmootherConfig(type="ilu"),
+                 agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2))
+    h = Hierarchy(prob, cfg)
+    rate = measure_vcycle_rate(h, n_cycles=20, seed=0)
+    # ILU(0) smoothing is at least SGS-strength on this config (reference
+    # SGS golden 0.0235237332)
+    assert rate < 0.05, rate
