@@ -416,6 +416,9 @@ class Hierarchy:
                 batch, cfg.n_eigenvectors, constrained_mode=mode,
                 use_device=use_device,
                 host_dtype=(np.float64 if self.dtype == jnp.float64 else np.float32))
+        if cfg.type == "arpack":
+            from mfmg_tpu.eigen.arpack import batched_arpack_smallest
+            return batched_arpack_smallest(batch, cfg, constrained_mode=mode)
         if cfg.type == "lanczos":
             from mfmg_tpu.eigen.lanczos import batched_lanczos_smallest
             return batched_lanczos_smallest(batch, cfg, constrained_mode=mode)

@@ -24,7 +24,8 @@ class EigensolverConfig:
       reference's LAPACK/cuSOLVER paths), "lanczos" (batched Lanczos with
       Cullum-Willoughby filtering), "anasazi" (batched LOBPCG,
       eigen/lobpcg.py, with use_initial_guess warm-start support), or
-      "arpack" (aliases to lapack: same smallest eigenpairs, computed exactly).
+      "arpack" (genuine shift-invert ARPACK per agglomerate, eigen/arpack.py
+      — the same Fortran ARPACK the reference links through deal.II).
     """
 
     type: str = "lapack"
@@ -290,13 +291,7 @@ def _to_bool(v) -> bool:
 
 
 def _canonical_eigensolver(name: str) -> str:
-    """Map reference eigensolver names onto the TPU-native implementations.
-
-    "anasazi" runs the batched LOBPCG (eigen/lobpcg.py); "arpack"
-    (shift-invert Arnoldi) targets the same smallest eigenpairs the batched
-    dense path computes exactly, so it aliases to "lapack".
-    """
-    name = name.strip().lower()
-    if name == "arpack":
-        return "lapack"
-    return name
+    """Normalize reference eigensolver names ("anasazi" -> batched LOBPCG,
+    "arpack" -> shift-invert ARPACK, "lapack" -> batched eigh,
+    "lanczos" -> batched Lanczos)."""
+    return name.strip().lower()

@@ -182,3 +182,18 @@ def test_lobpcg_init_guess_near_reference_golden():
                  agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2))
     rate = measure_vcycle_rate(Hierarchy(prob, cfg), 20, seed=0)
     assert 0.02 < rate < 0.0822670712 + 2e-2, rate
+
+
+def test_arpack_shift_invert_matches_eigh():
+    """The genuine shift-invert ARPACK path (eigen/arpack.py, the
+    reference's amge_host 'arpack' dispatch) returns the same smallest
+    eigenpairs as the exact dense solve, with and without constraints."""
+    from mfmg_tpu.eigen.arpack import batched_arpack_smallest
+
+    for constrained_first, mode, expect in ((False, "raw", [1, 2, 3, 4, 5]),
+                                            (True, "identity", [2, 3, 4, 5, 6])):
+        batch = diag_batch(n=12, constrained_first=constrained_first)
+        cfg = EigensolverConfig(type="arpack", n_eigenvectors=5, tolerance=1e-12)
+        evals, evecs = batched_arpack_smallest(batch, cfg, constrained_mode=mode)
+        for g in range(batch.n_agg):
+            np.testing.assert_allclose(evals[g], expect, atol=1e-9)

@@ -74,6 +74,19 @@ def test_golden_rate_matrix_gauss_seidel(problem_3d):
     assert rate == pytest.approx(GOLDEN_MATRIX_SGS_3D, abs=1e-6), rate
 
 
+def test_golden_rate_matrix_arpack(problem_3d):
+    """test_hierarchy.cc:343 names the ARPACK eigensolver for the matrix-path
+    golden; the genuine shift-invert ARPACK (eigen/arpack.py) reproduces it
+    through the dealii-ordering GS parity smoother like the exact-eigh path
+    (the coarse span is eigensolver-invariant)."""
+    cfg = _gs_cfg()
+    cfg.eigensolver = EigensolverConfig(type="arpack", n_eigenvectors=2,
+                                        tolerance=1e-10)
+    h = Hierarchy(problem_3d, cfg)
+    rate = measure_vcycle_rate(h, n_cycles=20, seed=0)
+    assert rate == pytest.approx(GOLDEN_MATRIX_SGS_3D, abs=1e-6), rate
+
+
 def test_golden_rate_matrix_gauss_seidel_distort():
     """test_hierarchy.cc:345: hyper_cube + distort_random = 0.0220847464.
     Our distortion reproduces deal.II's semantics (exact-length random
