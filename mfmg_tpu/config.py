@@ -250,7 +250,8 @@ class Config:
             "": {"max levels", "max_levels", "cycle type", "cycle_type",
                  "is preconditioner", "is_preconditioner", "fast_ap",
                  "operator", "dtype", "eigensolver", "smoother", "coarse",
-                 "agglomeration", "solver", "laplace"},
+                 "agglomeration", "solver", "laplace", "material_property",
+                 "use_raw_ml", "hidden"},   # driver-consumed reference keys
             "eigensolver": {"type", "number of eigenvectors", "n_eigenvectors",
                             "tolerance", "max_iterations", "percent_overshoot",
                             "is_deflated", "num_cycles",

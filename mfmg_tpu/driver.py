@@ -44,6 +44,11 @@ def main(argv=None):
                    help="persist the built hierarchy (npz) for later reuse")
     p.add_argument("--load-hierarchy", metavar="PATH", default=None,
                    help="skip setup; reload a hierarchy saved earlier")
+    p.add_argument("--raw-ml", action="store_true",
+                   help="uncover the .info 'hidden' ML subtree (the "
+                        "reference driver's use_raw_ml switch): a single "
+                        "mfmg level with the smoothed-aggregation ML coarse "
+                        "solver")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -60,6 +65,20 @@ def main(argv=None):
         else:
             from mfmg_tpu.utils.info_parser import load_info
             cfg_dict = load_info(args.file)
+    if cfg_dict:
+        # the reference driver's forced settings (hierarchy_driver.cc:255-272)
+        # for reference-style .info runs: fast AP, LOBPCG at 1e-3, and the
+        # use_raw_ml 'uncover' of the hidden ML parameter subtree
+        use_raw_ml = (args.raw_ml or str(cfg_dict.get("use_raw_ml", "false"))
+                      .strip().lower() in ("true", "1", "yes"))
+        if (not args.matrix_free and use_raw_ml
+                and isinstance(cfg_dict.get("hidden"), dict)):
+            for k, v in cfg_dict["hidden"].items():
+                cfg_dict[k] = v
+        cfg_dict["fast_ap"] = True
+        cfg_dict.setdefault("eigensolver", {})
+        cfg_dict["eigensolver"]["type"] = "anasazi"
+        cfg_dict["eigensolver"]["tolerance"] = 1e-3
     cfg = Config.from_dict(cfg_dict)
     if args.matrix_free:
         cfg.operator = "matrix_free"

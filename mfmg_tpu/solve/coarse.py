@@ -88,6 +88,9 @@ _ML_PARAM_KEYS = {
     "smoother: type": ("smoother_type", str),
     "aggregation: nodes per aggregate": ("nodes_per_aggregate", int),
     "number of eigenvectors": ("n_eigenvectors", int),
+    # ML's bottom solver; ours is always the dense direct solve (the
+    # Amesos-KLU analog), so the value is accepted and need not dispatch
+    "coarse: type": ("coarse_type", str),
 }
 
 
