@@ -25,7 +25,9 @@ def main(argv=None):
                    help="use the matrix-free operator path")
     p.add_argument("--operator", default=None,
                    help="operator representation: ell | stencil | matrix_free | sumfac")
-    p.add_argument("-t", "--tolerance", type=float, default=1e-6)
+    p.add_argument("-t", "--tolerance", type=float, default=None,
+                   help="CG solver tolerance (default: .info "
+                        "solver.tolerance, else 1e-6)")
     p.add_argument("--solve", action="store_true",
                    help="CG-preconditioner mode (default: 20 V-cycles + rate)")
     p.add_argument("--n-refinements", type=int, default=None)
@@ -150,13 +152,18 @@ def main(argv=None):
         print(f"Convergence rate: {rate:.10f}")
         print(timer.summary())
         return 0
+    # CLI -t wins; else the .info solver.tolerance; else 1e-6 — the
+    # reference driver's precedence (hierarchy_driver.cc:273-279)
+    solver_tol = args.tolerance
+    if solver_tol is None:
+        solver_tol = float(cfg_dict.get("solver", {}).get("tolerance", 1e-6))
     with profile_ctx:
         if args.solve:
             b = rng.uniform(size=prob.n_dofs)
             b[prob.constrained] = 0.0
             with timer.section("Apply: CG solve"):
                 x, info = hier.solve_cg(jnp.asarray(b, dtype=hier.dtype),
-                                        tol=args.tolerance)
+                                        tol=solver_tol)
             print(f"Solved in {int(info['iterations'])} iterations, "
                   f"relative residual {float(info['relres']):.3e}")
         else:

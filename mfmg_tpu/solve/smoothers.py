@@ -622,9 +622,12 @@ def build_smoother(op, smoother_cfg, dtype=jnp.float64, A_scipy=None,
                     apply_fn, diag_h, diag_h.shape[0],
                     n_iter=smoother_cfg.eig_cg_n_iterations)
             elif apply_fn is not None:
-                # production default: converged host Lanczos interval
+                # production default: converged-enough host Lanczos interval
+                # (16 steps put lmax within 0.8% of the 40-step value at
+                # 274k dofs — absorbed by the 1.2 safety factor — and the
+                # host estimate is ~15 s of the 2.1M setup at 40 steps)
                 lmin_est, lmax_est = _host_lanczos_interval(
-                    apply_fn, diag_h, diag_h.shape[0], n_iter=40, seed=7)
+                    apply_fn, diag_h, diag_h.shape[0], n_iter=16, seed=7)
             else:
                 lmin_est, lmax_est = estimate_extreme_eigenvalues(
                     op, inv_diag, n_iter=40)
