@@ -65,8 +65,13 @@ def main():
     # preconditioner; the outer CG residual uses the exact f32 operator
     # (Hierarchy._exact_fine_op), and PCG iterations are measured unchanged
     # (10 at 274k with either storage).
+    from mfmg_tpu.config import EigensolverConfig
+    # deep=4 eigenvectors per super-agglomerate: V-cycle rate 0.67 -> 0.57
+    # (PCG 10 -> 9) for ~12 us/cycle of extra coarse-level traffic
     cfg = Config(operator="stencil", dtype="float32", max_levels=MAX_LEVELS,
                  coeff_dtype="bfloat16",
+                 eigensolver=EigensolverConfig(n_eigenvectors=2,
+                                               n_eigenvectors_deep=4),
                  smoother=SmootherConfig(type="chebyshev", degree=2),
                  agglomeration=AgglomerationConfig(nx=4, ny=4, nz=4),
                  coarse=CoarseConfig(type="direct"))

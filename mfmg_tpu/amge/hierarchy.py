@@ -289,11 +289,13 @@ class Hierarchy:
                 self._agg_grid = transfer.agg_shape if transfer is not None else None
             elif level > 0 and cfg.operator == "stencil" and getattr(self, "_agg_grid", None):
                 from mfmg_tpu.ops.structured_transfer import general_window_transfer_from_csr
-                n_ev = cfg.eigensolver.n_eigenvectors
+                n_ev0 = cfg.eigensolver.n_eigenvectors
+                n_evd = cfg.eigensolver.n_eigenvectors_deep or n_ev0
+                in_comp = n_ev0 if level == 1 else n_evd
                 out_grid = tuple(reversed(self._super_grid_xyz))
                 stride = tuple(reversed(cfg.agglomeration.block_dims(self.problem.mesh.dim)))
                 transfer = general_window_transfer_from_csr(
-                    R, self._agg_grid, n_ev, out_grid, n_ev, stride,
+                    R, self._agg_grid, in_comp, out_grid, n_evd, stride,
                     dtype=self.dtype)
                 if transfer is not None:
                     self._agg_grid = out_grid
@@ -314,9 +316,11 @@ class Hierarchy:
                 # block stencil — keep the gather-free path (ops/block_stencil)
                 from mfmg_tpu.ops.block_stencil import block_stencil_from_csr
                 coarse_grid = getattr(transfer, "out_grid", None) or transfer.agg_shape
+                n_comp = (cfg.eigensolver.n_eigenvectors if level == 0 else
+                          cfg.eigensolver.n_eigenvectors_deep
+                          or cfg.eigensolver.n_eigenvectors)
                 op = block_stencil_from_csr(
-                    A_coarse, coarse_grid,
-                    self.config.eigensolver.n_eigenvectors, dtype=self.dtype)
+                    A_coarse, coarse_grid, n_comp, dtype=self.dtype)
             if op is None:
                 op = ell_from_scipy(A_coarse, dtype=self.dtype)
 
@@ -376,10 +380,12 @@ class Hierarchy:
         if prev_batch is not None and prev_batch.A_agg is None:
             prev_batch = None            # distributed setup: light batch only
         prev_blocks = getattr(self, "_level0_blocks", None) if level == 1 else None
+        n_evd = (cfg.eigensolver.n_eigenvectors_deep
+                 or cfg.eigensolver.n_eigenvectors)
         R_l, cell_super, super_grid = build_recursive_restriction(
             problem.mesh, problem.A_loc, self._cell_agg, self._R_composed,
             self._A_per_level[level], problem.constrained,
-            cfg.eigensolver.n_eigenvectors, cfg.agglomeration.block_dims(problem.mesh.dim),
+            n_evd, cfg.agglomeration.block_dims(problem.mesh.dim),
             prev_batch=prev_batch, prev_blocks=prev_blocks)
         self._cell_agg = cell_super
         self._R_composed = (R_l @ self._R_composed).tocsr()

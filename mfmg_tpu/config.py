@@ -29,6 +29,11 @@ class EigensolverConfig:
     """
 
     type: str = "lapack"
+    # Eigenvectors per SUPER-agglomerate on recursive levels (>= 1); None =
+    # same as n_eigenvectors.  Deep levels coarsen s^dim-fold per step, so a
+    # richer deep space is nearly free in apply cost and buys V-cycle
+    # quality (bench config: rate 0.67 -> 0.57 with deep=4 at +12 us/cycle).
+    n_eigenvectors_deep: Optional[int] = None
     # Constrained-dof treatment in the local eigenproblems: "auto" follows the
     # reference's convention for the chosen operator path (matrix path -> "pin"
     # = shift + diag 200; matrix-free path -> "identity" = diag 1); "raw"
@@ -203,6 +208,8 @@ class Config:
         cfg.eigensolver = EigensolverConfig(
             type=_canonical_eigensolver(e.get("type", cfg.eigensolver.type)),
             n_eigenvectors=int(e.get("number of eigenvectors", e.get("n_eigenvectors", 2))),
+            n_eigenvectors_deep=(int(e["n_eigenvectors_deep"])
+                                 if "n_eigenvectors_deep" in e else None),
             tolerance=float(e.get("tolerance", 1e-14)),
             max_iterations=int(e.get("max_iterations", 200)),
             percent_overshoot=int(e.get("percent_overshoot", 5)),
@@ -253,6 +260,7 @@ class Config:
                  "agglomeration", "solver", "laplace", "material_property",
                  "use_raw_ml", "hidden"},   # driver-consumed reference keys
             "eigensolver": {"type", "number of eigenvectors", "n_eigenvectors",
+                            "n_eigenvectors_deep",
                             "tolerance", "max_iterations", "percent_overshoot",
                             "is_deflated", "num_cycles",
                             "num_eigenpairs_per_cycle", "use_initial_guess",

@@ -368,3 +368,28 @@ def test_config_from_dict_full_coarse_and_unknown_key_warning():
         warnings.simplefilter("always")
         Config.from_dict({"smoother": {"typo_key": 1}})
     assert any("typo_key" in str(w.message) for w in rec)
+
+
+def test_deep_eigenvectors_improve_multilevel():
+    """n_eigenvectors_deep: a richer coarse space on recursive levels (they
+    coarsen s^dim-fold, so extra vectors are nearly free in apply cost)
+    improves the 3-level rate and keeps all structured fast paths (block
+    stencil ops + dense window transfers) engaged."""
+    prob = LaplaceProblem.hyper_cube(3, 4, material_property="linear")
+
+    def rate_for(deep):
+        cfg = Config(operator="stencil", max_levels=3, is_preconditioner=False,
+                     eigensolver=EigensolverConfig(n_eigenvectors=2,
+                                                   n_eigenvectors_deep=deep),
+                     smoother=SmootherConfig(type="chebyshev", degree=2),
+                     agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2))
+        h = Hierarchy(prob, cfg)
+        from mfmg_tpu.ops.block_stencil import BlockStencilOperator
+        assert isinstance(h.levels[1].op, BlockStencilOperator)
+        assert h.levels[1].transfer is not None
+        expected = (deep or 2)
+        assert h._A_shapes[2][0] % expected == 0
+        return measure_vcycle_rate(h, 15, seed=0)
+
+    r2, r4 = rate_for(None), rate_for(4)
+    assert r4 <= r2 + 1e-9, (r2, r4)
