@@ -69,6 +69,18 @@ def main():
         err = np.abs(got - expect).max()
         assert err <= tol, (pid, shard.index, err)
 
+    # ---- 2-axis pencil decomposition across processes --------------------
+    if n_devices >= 4 and n_devices % 2 == 0:
+        sv2 = build_spmd_vcycle(hier, devices=np.array(jax.devices()),
+                                mesh_shape=(n_devices // 2, 2))
+        out2 = sv2.fn(sv2.to_grid(b), sv2.to_grid(x0))
+        jax.block_until_ready(out2)
+        ref2 = np.zeros(sv2.grid_shape)
+        ref2[tuple(slice(0, o) for o in sv2.orig_grid)] = ref.reshape(sv2.orig_grid)
+        for shard in out2.addressable_shards:
+            err = np.abs(np.asarray(shard.data) - ref2[shard.index]).max()
+            assert err <= tol, ("pencil", pid, shard.index, err)
+
     # ---- distributed setup: each process builds only its agglomerate slab
     # (the analog of the reference's MPI-decomposed setup,
     # amge.templates.hpp:596-643) and the result matches the replicated
