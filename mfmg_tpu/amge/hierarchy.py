@@ -47,6 +47,8 @@ class LevelData:
     RT: Optional[ELLMatrix] = None       # prolongation (R transpose)
     transfer: object = None              # StructuredTransfer (gather-free path)
     coarse: object = None                # coarse solver on the coarsest level
+    fused: object = None                 # FusedTail: whole coarse tail in one
+                                         # Pallas kernel (level 0 only)
 
 
 def _restrict(lvl, res):
@@ -78,14 +80,21 @@ def _cycle(levels, b, x, level, n_smoothing_steps, cycle_type):
         x = lvl.smoother.apply(lvl.op, b, x)
     # negative residual: res = A x - b (hierarchy.hpp:282-286)
     res = apply_op(lvl.op, x) - b
-    b_coarse = _restrict(lvl, res)
-    x_coarse = jnp.zeros_like(b_coarse)
-    # ("f" recurses F then revisits with V; "w" recurses W twice)
-    sub_cycles = {"v": ("v",), "w": ("w", "w"), "f": ("f", "v")}[cycle_type]
-    for sub in sub_cycles:
-        x_coarse = _cycle(levels, b_coarse, x_coarse, level + 1,
-                          n_smoothing_steps, sub)
-    x = x - _prolong(lvl, x_coarse)
+    if (level == 0 and lvl.fused is not None and cycle_type == "v"
+            and n_smoothing_steps == lvl.fused.nss):
+        # whole coarse tail (restrict, level>=1 cycle, prolong, correction)
+        # in one Pallas kernel launch (ops/fused_cycle.py)
+        from mfmg_tpu.ops.fused_cycle import fused_correction_apply
+        x = fused_correction_apply(lvl.fused, x, res)
+    else:
+        b_coarse = _restrict(lvl, res)
+        x_coarse = jnp.zeros_like(b_coarse)
+        # ("f" recurses F then revisits with V; "w" recurses W twice)
+        sub_cycles = {"v": ("v",), "w": ("w", "w"), "f": ("f", "v")}[cycle_type]
+        for sub in sub_cycles:
+            x_coarse = _cycle(levels, b_coarse, x_coarse, level + 1,
+                              n_smoothing_steps, sub)
+        x = x - _prolong(lvl, x_coarse)
     for _ in range(n_smoothing_steps):
         x = lvl.smoother.apply(lvl.op, b, x)
     return x
@@ -332,6 +341,28 @@ class Hierarchy:
                 levels=nested, n_smoothing_steps=ml_knobs["n_smoothing_steps"])
             self.levels = self.levels[: num_levels - 1] + [
                 LevelData(op=nested[0].op, coarse=solver)]
+
+        self._maybe_fuse_tail()
+        _mark("fused tail")
+
+    def _maybe_fuse_tail(self):
+        """Bake the single-kernel coarse tail (ops/fused_cycle.py) when the
+        level structure fits and we are on a TPU backend (the kernel runs in
+        interpreter mode on CPU — correct but far too slow for production
+        paths; tests exercise it explicitly).  MFMG_NO_FUSED=1 disables."""
+        import os
+        if os.environ.get("MFMG_NO_FUSED"):
+            return
+        force = bool(os.environ.get("MFMG_FORCE_FUSED"))
+        if jax.default_backend() != "tpu" and not force:
+            return
+        if self.config.cycle_type != "v":
+            return
+        from mfmg_tpu.ops.fused_cycle import build_fused_tail
+        fs = build_fused_tail(self.levels,
+                              self.config.smoother.n_smoothing_steps)
+        if fs is not None and fs.fine_grid is not None:
+            self.levels[0] = dataclasses.replace(self.levels[0], fused=fs)
 
     def _build_restrictor(self, level: int) -> sp.csr_matrix:
         """Analog of HierarchyHelpers::build_restrictor for one level.

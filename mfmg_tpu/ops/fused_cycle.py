@@ -1,0 +1,416 @@
+"""Fused Pallas kernels for the coarse tail of a 3-level hierarchy.
+
+The V-cycle below level 0 — fine restrict, L1 Chebyshev pre-smooth, L1
+residual, dense L1->L2 restrict, direct coarse solve, prolongations and the
+post-smooth — is ~2 MB of operands spread over ~25 XLA ops; on the TPU its
+cost is per-op dispatch latency and relayouts, not bandwidth (measured
+~290 us of a 0.49 ms cycle at 274k dofs: transfer pair 192 us + coarse
+sub-cycle 90 us, round-3 ROADMAP #1).  `fused_correction_apply` runs the
+ENTIRE tail in one pallas_call with every operand VMEM-resident:
+
+  * the fine-level windowed restriction is a chain of selection matmuls
+    (ops/structured_transfer.py) executed in-kernel on the MXU; the
+    prolongation is the exact linear transpose, reusing the SAME VMEM copy
+    of the weights W,
+  * the level-1 block-stencil apply uses the resident-kernel shift algebra
+    (ops/pallas_stencil.py): x is laid out (n_comp, gx, gz*gy) and a stencil
+    offset (dz, dy, dx) is a sublane roll by dx plus a lane roll by dz*gy+dy;
+    roll wrap-around lands on agglomerate-grid boundary sites whose stencil
+    coefficients are exactly zero (no such matrix entries exist),
+  * the Chebyshev smoother polynomial (deal.II semantics, solve/smoothers.py)
+    is unrolled with its alpha/beta recurrence precomputed to Python floats,
+  * the dense level-1<->2 transfer matrix Rd is stored ONCE in VMEM (column
+    order pre-permuted to the kernel's component-major vector layout) and
+    used for both directions as broadcast-multiply + axis reductions,
+  * the coarsest solve is the dense pseudoinverse matvec on the MXU.
+
+Mosaic layout rules shape the implementation (probed on v5e): reshapes may
+regroup LEADING dims freely but may not split/merge the minor (lane) dim
+unless 128-aligned; transposes (leading swaps, minor swaps, plain 2-D) and
+dot_general contractions over either of a 3-D tensor's last two dims are
+supported.  Every step below is built from exactly that legal set.
+
+This is the TPU-native answer to the reference's per-level virtual-dispatch
+apply chain (include/mfmg/common/hierarchy.hpp:246-309, Chebyshev smoothing
+dealii_matrix_free_smoother.cc:34-56, direct coarse dealii_solver.cc:25-87):
+where mfmg pays a vmult call per level object, the fused kernel pays one
+kernel launch for the whole coarse tail.
+
+Precision note: all in-kernel matmuls run at HIGHEST precision, so the fused
+tail is *more* accurate than the unfused XLA path (whose f32 einsums default
+to bf16 passes on TPU); validated against a pure-f32 mirror at ~1e-7.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _cheb_coeffs(theta: float, delta: float, degree: int):
+    """alpha_i / beta_i of the dealii PreconditionChebyshev recurrence
+    (matches solve.smoothers._chebyshev_vmult exactly)."""
+    alphas, betas = [1.0 / theta], [0.0]
+    for _ in range(2, degree + 1):
+        beta = (delta * alphas[-1] / 2.0) ** 2
+        alphas.append(1.0 / (theta - beta / alphas[-1]))
+        betas.append(beta)
+    return tuple(alphas), tuple(betas)
+
+
+# Transfer-chain matmul precision: DEFAULT (one bf16 pass) unless
+# MFMG_FUSED_HI=1.  The fused tail lives strictly inside the PRECONDITIONER
+# (the outer Krylov residual uses the exact operator, hierarchy.solve_cg), and
+# the hierarchy's own stencil coefficients already stream as bf16, so bf16
+# transfer passes cost no PCG iterations (measured 9 -> 9 at 274k) while
+# HIGHEST-precision f32 emulation costs ~3-6 MXU passes per matmul.
+import os as _os
+
+_CHAIN_PREC = (_HI if _os.environ.get("MFMG_FUSED_HI")
+               else jax.lax.Precision.DEFAULT)
+
+
+def _mm(a, m, out_dtype):
+    """2-D matmul a @ m (the chain keeps every contraction a plain MXU matmul
+    on leading-merged operands — measured ~30% faster in-kernel than 3-D
+    dot_general, which Mosaic lowers as many small batched products)."""
+    return jax.lax.dot_general(a, m, (((1,), (0,)), ((), ())),
+                               precision=_CHAIN_PREC,
+                               preferred_element_type=out_dtype)
+
+
+def _mmT(a, m, out_dtype):
+    """a @ m.T without materializing the transpose: contract dim1 x dim1."""
+    return jax.lax.dot_general(a, m, (((1,), (1,)), ((), ())),
+                               precision=_CHAIN_PREC,
+                               preferred_element_type=out_dtype)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FusedTail:
+    """Baked operands of the fused coarse-tail kernels.
+
+    Level-1 vector layout inside the kernels: (n_comp, gx, gz*gy) —
+    component-major planes of the agglomerate grid with the *x* axis on
+    sublanes and (z,y) merged on lanes; that is reachable from the
+    restriction chain's (gz*gy, gx) output by one legal 2-D transpose and
+    keeps the lane dimension 128-aligned-friendly (gz*gy sites).
+    """
+
+    # level-1 sub-cycle operands
+    Kp: jax.Array            # (n_off, c, c, gx, gz*gy) stencil planes
+    invd: jax.Array          # (c, gx, gz*gy) inverse diagonal
+    Rdp: jax.Array           # (n2, c*gx, gz*gy) dense transfer, comp-major
+    inv2: jax.Array          # (n2, n2) coarse pseudoinverse
+    # fine-level windowed transfer operands (None => sub-cycle only)
+    Wt: jax.Array | None     # (n_ev, gz*wz, gy*wy, gx*wx) weights [e,zi,yi,xi]
+    Sz: jax.Array | None     # (nz, gz*wz) selection, contract-from-fine side
+    Sy: jax.Array | None     # (ny, gy*wy)
+    Sx: jax.Array | None     # (nx, gx*wx)
+    Mz: jax.Array | None     # (gz*wz, gz) block-sum
+    My: jax.Array | None
+    Mx: jax.Array | None
+    shifts: tuple = dataclasses.field(metadata=dict(static=True))
+    grid: tuple = dataclasses.field(metadata=dict(static=True))   # (gz, gy, gx)
+    n_comp: int = dataclasses.field(metadata=dict(static=True))
+    alphas: tuple = dataclasses.field(metadata=dict(static=True))
+    betas: tuple = dataclasses.field(metadata=dict(static=True))
+    fine_grid: tuple = dataclasses.field(metadata=dict(static=True),
+                                         default=None)            # (nz, ny, nx)
+    nss: int = dataclasses.field(metadata=dict(static=True), default=1)
+
+    @property
+    def degree(self):
+        return len(self.alphas)
+
+
+# --------------------------------------------------------------- sub-cycle --
+
+def _subcycle_math(fs: FusedTail, b1, Kp, invd, Rdp, inv2):
+    """The level>=1 V-cycle tail on (c, gx, gz*gy) planes — pure value math,
+    shared by the standalone and the full-tail kernels."""
+    c = fs.n_comp
+    gz, gy, gx = fs.grid
+    L = gz * gy
+
+    def apply_A(x):
+        acc = None
+        for o, (ss, sl) in enumerate(fs.shifts):
+            v = x
+            if ss:
+                v = pltpu.roll(v, ss, axis=1)
+            if sl:
+                v = pltpu.roll(v, sl, axis=2)
+            comps = []
+            for e in range(c):
+                t = None
+                for f in range(c):
+                    term = Kp[o, e, f] * v[f]
+                    t = term if t is None else t + term
+                comps.append(t)
+            t = jnp.stack(comps, axis=0)
+            acc = t if acc is None else acc + t
+        return acc
+
+    def cheb_vmult(src):
+        # x = p_degree(D^-1 A) D^-1 src, zero initial guess
+        z = invd * src
+        p = z
+        x = fs.alphas[0] * z
+        for i in range(1, fs.degree):
+            r = src - apply_A(x)
+            z = invd * r
+            p = z + fs.betas[i] * p
+            x = x + fs.alphas[i] * p
+        return x
+
+    def smooth(x):
+        r = apply_A(x) - b1
+        return x - cheb_vmult(r)
+
+    # pre-smooth from zero: x1 = -cheb(-b1) = cheb(b1)
+    x1 = cheb_vmult(b1)
+    for _ in range(fs.nss - 1):
+        x1 = smooth(x1)
+
+    # coarse correction through the dense transfer.  Contractions avoid
+    # lane-dimension shape casts (Mosaic rejects e.g. (c,gx,L)->(1,c*gx*L)):
+    # Rdp is stored 3-D and reduced one axis at a time; the tiny coarse solve
+    # is an MXU matmul on (n2, 1) columns.
+    r1 = apply_A(x1) - b1
+    r1m = r1.reshape(c * gx, L)
+    prod = Rdp * r1m[None]                              # (n2, c*gx, L)
+    b2 = jnp.sum(jnp.sum(prod, axis=2), axis=1, keepdims=True)   # (n2, 1)
+    x2 = jnp.dot(inv2, b2, preferred_element_type=b2.dtype, precision=_HI)
+    corr = jnp.sum(Rdp * x2[:, :, None], axis=0)        # (c*gx, L) prolong
+    x1 = x1 - corr.reshape(c, gx, L)
+
+    for _ in range(fs.nss):
+        x1 = smooth(x1)
+    return x1
+
+
+def _subcycle_kernel(fs, b1_ref, Kp_ref, invd_ref, Rdp_ref, inv2_ref, out_ref):
+    out_ref[:] = _subcycle_math(fs, b1_ref[:], Kp_ref[:], invd_ref[:],
+                                Rdp_ref[:], inv2_ref[:])
+
+
+_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+
+
+def _interpret():
+    return jax.default_backend() == "cpu"
+
+
+@jax.jit
+def fused_subcycle_apply(fs: FusedTail, b_coarse: jax.Array) -> jax.Array:
+    """x_coarse = subcycle(b_coarse) — drop-in for the level>=1 recursion of
+    amge.hierarchy._cycle on a 3-level hierarchy (site-major flat I/O)."""
+    c = fs.n_comp
+    gz, gy, gx = fs.grid
+    # site-major flat -> (c, gx, gz*gy) planes
+    b1 = b_coarse.reshape(gz, gy, gx, c)
+    b1 = jnp.transpose(b1, (3, 2, 0, 1)).reshape(c, gx, gz * gy)
+    out = pl.pallas_call(
+        functools.partial(_subcycle_kernel, fs),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, gx, gz * gy), b_coarse.dtype),
+        compiler_params=_PARAMS,
+        interpret=_interpret(),
+    )(b1, fs.Kp, fs.invd, fs.Rdp, fs.inv2)
+    out = jnp.transpose(out.reshape(c, gx, gz, gy), (2, 3, 1, 0))
+    return out.reshape(b_coarse.shape)
+
+
+# ----------------------------------------------------------- full fused tail --
+
+@jax.jit
+def fused_correction_apply(fs: FusedTail, x: jax.Array,
+                           res: jax.Array) -> jax.Array:
+    """x - P . subcycle(R . res) in one kernel launch (flat fine I/O)."""
+    nz, ny, nx = fs.fine_grid
+    x3 = x.reshape(nz, ny, nx)
+    res3 = res.reshape(nz, ny, nx)
+    out = pl.pallas_call(
+        functools.partial(_tail_kernel_full, fs),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), x.dtype),
+        compiler_params=_PARAMS,
+        interpret=_interpret(),
+    )(x3, res3, fs.Wt, fs.Sz, fs.Sy, fs.Sx, fs.Mz, fs.My, fs.Mx,
+      fs.Kp, fs.invd, fs.Rdp, fs.inv2)
+    return out.reshape(x.shape)
+
+
+def _tail_kernel_full(fs, x_ref, res_ref, Wt_ref, Sz_ref, Sy_ref, Sx_ref,
+                      Mz_ref, My_ref, Mx_ref, Kp_ref, invd_ref, Rdp_ref,
+                      inv2_ref, out_ref):
+    """Restriction chain (2-D matmuls), sub-cycle, adjoint prolongation.
+
+    Layout walk of the restriction (every reshape regroups LEADING dims only;
+    swaps are minor/leading transposes — the Mosaic-legal op set):
+      res (nz,ny,nx) -> @Sx -> (nz,ny,X) -> swap12, @Sy -> (nz,X,Y)
+      -> swap01, swap12, @Sz -> C (X,Y,Z)
+      per e: P = Wt[e]*C -> @Mz -> (X,Y,gz) -> swap12, @My -> (X,gz,gy)
+      -> swap01, swap12, @Mx -> (gz*gy, gx) -> .T -> plane (gx, gz*gy)
+    The prolongation is the mechanical adjoint (reverse order, transposed
+    matmuls via _mmT), reusing the same VMEM copies of W/S/M.
+    """
+    nz, ny, nx = fs.fine_grid
+    gz, gy, gx = fs.grid
+    n_ev = fs.n_comp
+    Sz, Sy, Sx = Sz_ref[:], Sy_ref[:], Sx_ref[:]
+    Mz, My, Mx = Mz_ref[:], My_ref[:], Mx_ref[:]
+    X, Y, Z = Sx.shape[1], Sy.shape[1], Sz.shape[1]
+    ft = x_ref.dtype
+
+    # ---- restriction ----
+    t = _mm(res_ref[:].reshape(nz * ny, nx), Sx, ft).reshape(nz, ny, X)
+    t = t.transpose(0, 2, 1)                                  # (nz, X, ny)
+    t = _mm(t.reshape(nz * X, ny), Sy, ft).reshape(nz, X, Y)
+    t = t.transpose(1, 0, 2)                                  # (X, nz, Y)
+    t = t.transpose(0, 2, 1)                                  # (X, Y, nz)
+    C = _mm(t.reshape(X * Y, nz), Sz, ft).reshape(X, Y, Z)    # [xi, yi, zi]
+
+    b1_planes = []
+    for e in range(n_ev):
+        p = Wt_ref[e].astype(ft) * C                          # (X, Y, Z)
+        p = _mm(p.reshape(X * Y, Z), Mz, ft).reshape(X, Y, gz)
+        p = p.transpose(0, 2, 1)                              # (X, gz, Y)
+        p = _mm(p.reshape(X * gz, Y), My, ft).reshape(X, gz, gy)
+        p = p.transpose(1, 0, 2)                              # (gz, X, gy)
+        p = p.transpose(0, 2, 1)                              # (gz, gy, X)
+        p = _mm(p.reshape(gz * gy, X), Mx, ft)                # (gz*gy, gx)
+        b1_planes.append(p.T)                                 # (gx, gz*gy)
+    b1 = jnp.stack(b1_planes, axis=0)
+
+    # ---- sub-cycle ----
+    x1 = _subcycle_math(fs, b1, Kp_ref[:], invd_ref[:], Rdp_ref[:], inv2_ref[:])
+
+    # ---- prolongation: mechanical adjoint of the chain above ----
+    Q = None
+    for e in range(n_ev):
+        p = _mmT(x1[e].T, Mx, ft).reshape(gz, gy, X)          # adj @Mx
+        p = p.transpose(0, 2, 1)                              # adj swap12
+        p = p.transpose(1, 0, 2)                              # adj swap01
+        p = _mmT(p.reshape(X * gz, gy), My, ft).reshape(X, gz, Y)
+        p = p.transpose(0, 2, 1)                              # (X, Y, gz)
+        p = _mmT(p.reshape(X * Y, gz), Mz, ft).reshape(X, Y, Z)
+        p = Wt_ref[e].astype(ft) * p
+        Q = p if Q is None else Q + p
+    q = _mmT(Q.reshape(X * Y, Z), Sz, ft).reshape(X, Y, nz)
+    q = q.transpose(0, 2, 1)                                  # (X, nz, Y)
+    q = q.transpose(1, 0, 2)                                  # (nz, X, Y)
+    q = _mmT(q.reshape(nz * X, Y), Sy, ft).reshape(nz, X, ny)
+    q = q.transpose(0, 2, 1)                                  # (nz, ny, X)
+    corr = _mmT(q.reshape(nz * ny, X), Sx, ft).reshape(nz, ny, nx)
+    out_ref[:] = x_ref[:] - corr
+
+
+# ------------------------------------------------------------------ builder --
+
+def build_fused_tail(levels, n_smoothing_steps: int = 1):
+    """Pattern-match a 3-level tail (structured fine transfer + block-stencil
+    L1 + Chebyshev + dense window transfer + direct coarse L2) and bake the
+    fused kernel operands.  Returns None when the structure doesn't fit (the
+    generic recursion stays)."""
+    from mfmg_tpu.ops.block_stencil import BlockStencilOperator
+    from mfmg_tpu.ops.structured_transfer import (GeneralWindowTransfer,
+                                                  StructuredTransfer,
+                                                  _selection_matrix)
+    from mfmg_tpu.solve.coarse import DirectCoarseSolver
+    from mfmg_tpu.solve.smoothers import ChebyshevSmoother
+
+    if len(levels) != 3:
+        return None
+    l0, l1, l2 = levels
+    op = l1.op
+    sm = l1.smoother
+    tr = l1.transfer
+    if not (isinstance(op, BlockStencilOperator)
+            and isinstance(sm, ChebyshevSmoother)
+            and isinstance(tr, GeneralWindowTransfer) and tr.Rd is not None
+            and l2.coarse is not None
+            and isinstance(l2.coarse, DirectCoarseSolver)):
+        return None
+    if len(op.agg_shape) != 3:
+        return None
+    gz, gy, gx = op.agg_shape
+    c = op.n_comp
+    dtype = np.dtype(jnp.dtype(op.coeffs.dtype).name)
+    if dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
+        return None
+
+    coeffs = np.asarray(op.coeffs, dtype=dtype)      # (n_off, gz,gy,gx, c, c)
+    # (n_off, c, c, gx, gz*gy) planes: x on sublanes, (z,y) on lanes
+    Kp = coeffs.transpose(0, 4, 5, 3, 1, 2).reshape(
+        len(op.offsets), c, c, gx, gz * gy)
+    # offset (dz, dy, dx): sublane roll dx, lane roll dz*gy+dy
+    shifts = tuple(((-dx) % gx, (-(dz * gy + dy)) % (gz * gy))
+                   for dz, dy, dx in op.offsets)
+
+    invd = np.asarray(sm.inv_diag, dtype=dtype)
+    invd = invd.reshape(gz, gy, gx, c).transpose(3, 2, 0, 1).reshape(
+        c, gx, gz * gy)
+
+    Rd = np.asarray(tr.Rd, dtype=dtype)              # (n2, n1) site-major cols
+    n2 = Rd.shape[0]
+    Rdp = Rd.reshape(n2, gz, gy, gx, c).transpose(0, 4, 3, 1, 2).reshape(
+        n2, c * gx, gz * gy)
+    inv2 = np.asarray(l2.coarse.inv, dtype=dtype)
+
+    alphas, betas = _cheb_coeffs(float(sm.theta), float(sm.delta), sm.degree)
+
+    # fine-level windowed transfer (optional: sub-cycle-only fusion without it)
+    Wt = Sz = Sy = Sx = Mz = My = Mx = None
+    fine_grid = None
+    ftr = l0.transfer
+    if (isinstance(ftr, StructuredTransfer) and ftr.n_ev == c
+            and len(ftr.agg_shape) == 3 and ftr.agg_shape == (gz, gy, gx)):
+        wz, wy, wx = ftr.window_shape
+        nz, ny, nx = ftr.grid_shape
+        fine_grid = (nz, ny, nx)
+        W = np.asarray(ftr.W, dtype=dtype)           # (e, tz,ty,tx, az,ay,ax)
+        # [e, xi, yi, zi] with xi = ax*wx+tx etc. (the 2-D matmul chain ends
+        # with zi minor after the Sx->Sy->Sz contraction order)
+        Wt = W.transpose(0, 6, 3, 5, 2, 4, 1).reshape(c, gx * wx, gy * wy,
+                                                      gz * wz)
+        sel = []
+        for (g, w, n) in ((gz, wz, nz), (gy, wy, ny), (gx, wx, nx)):
+            # stored transposed: (n, g*w) so restriction contracts the fine
+            # axis as _cdim1 and prolongation as _cminor on the same copy
+            sel.append(_selection_matrix(g, w, w - 1, n).astype(dtype).T)
+        Sz, Sy, Sx = sel
+        blocksum = []
+        for (g, w) in ((gz, wz), (gy, wy), (gx, wx)):
+            M = np.zeros((g * w, g), dtype=dtype)    # (g*w, g): t -> block
+            M[np.arange(g * w), np.repeat(np.arange(g), w)] = 1.0
+            blocksum.append(M)
+        Mz, My, Mx = blocksum
+
+    j = jnp.asarray
+    return FusedTail(
+        Kp=j(Kp), invd=j(invd), Rdp=j(Rdp), inv2=j(inv2),
+        Wt=None if Wt is None else j(Wt),
+        Sz=None if Sz is None else j(Sz), Sy=None if Sy is None else j(Sy),
+        Sx=None if Sx is None else j(Sx),
+        Mz=None if Mz is None else j(Mz), My=None if My is None else j(My),
+        Mx=None if Mx is None else j(Mx),
+        shifts=shifts, grid=(gz, gy, gx), n_comp=c,
+        alphas=alphas, betas=betas, fine_grid=fine_grid,
+        nss=n_smoothing_steps)
+
+
+# backward-compatible alias (sub-cycle-only builder)
+build_fused_subcycle = build_fused_tail
