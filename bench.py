@@ -224,7 +224,31 @@ def main():
                   + lvl.RT.vals.size + lvl.RT.cols.size) * 4
         return b
 
-    bytes_cycle = sum(_level_bytes(lvl) for lvl in levels)
+    def _fused_cycle_bytes(levels):
+        """Honest compulsory bytes for the fused-kernel cycle: the symmetric
+        coefficient planes are read ONCE PER SMOOTHER APPLICATION (VMEM
+        resident across the polynomial's applies, incl. the piggy-backed
+        V-cycle residual), and the tail kernel reads each of its operands
+        exactly once.  Returns None when the fused path is inactive."""
+        l0 = levels[0]
+        fs = getattr(l0, "fused", None)
+        if fs is None or not hasattr(l0.smoother, "inv_diag_padded"):
+            return None
+        cp = l0.op.coeffs_padded
+        n_planes = 1 + len(l0.op.sym_pos)
+        planes = n_planes * int(np.prod(cp.shape[1:])) * cp.dtype.itemsize
+        vec = int(np.prod(cp.shape[1:])) * 4          # padded f32 vector
+        invd = vec
+        smoother1 = planes + invd + 4 * vec           # read x,b; write x,res
+        smoother2 = planes + invd + 3 * vec
+        tail_ops = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                       for a in (fs.Wt, fs.Sz, fs.Sy, fs.Sx, fs.Mz, fs.My,
+                                 fs.Mx, fs.Kp, fs.invd, fs.Rdp, fs.inv2))
+        tail = tail_ops + 3 * l0.op.shape[0] * 4      # read x,res; write x
+        return smoother1 + tail + smoother2
+
+    bytes_cycle = _fused_cycle_bytes(levels) or sum(
+        _level_bytes(lvl) for lvl in levels)
 
     # triad roofline: a = b + s*a, 3 street accesses of m floats per iter
     m = 32 * 1024 * 1024

@@ -76,10 +76,18 @@ def _cycle(levels, b, x, level, n_smoothing_steps, cycle_type):
     lvl = levels[level]
     if level == len(levels) - 1:
         return lvl.coarse.apply(b)
-    for _ in range(n_smoothing_steps):
-        x = lvl.smoother.apply(lvl.op, b, x)
-    # negative residual: res = A x - b (hierarchy.hpp:282-286)
-    res = apply_op(lvl.op, x) - b
+    awr = hasattr(lvl.smoother, "apply_with_residual")
+    res = None
+    for i in range(n_smoothing_steps):
+        if awr and i == n_smoothing_steps - 1:
+            # fused smoother emits the V-cycle residual from the planes it
+            # already holds in VMEM (solve/smoothers.FusedChebyshevSmoother)
+            x, res = lvl.smoother.apply_with_residual(lvl.op, b, x)
+        else:
+            x = lvl.smoother.apply(lvl.op, b, x)
+    if res is None:
+        # negative residual: res = A x - b (hierarchy.hpp:282-286)
+        res = apply_op(lvl.op, x) - b
     if (level == 0 and lvl.fused is not None and cycle_type == "v"
             and n_smoothing_steps == lvl.fused.nss):
         # whole coarse tail (restrict, level>=1 cycle, prolong, correction)
@@ -342,14 +350,19 @@ class Hierarchy:
             self.levels = self.levels[: num_levels - 1] + [
                 LevelData(op=nested[0].op, coarse=solver)]
 
-        self._maybe_fuse_tail()
-        _mark("fused tail")
+        self._finalize_tpu_kernels()
+        _mark("fused kernels")
 
+    # kept as an alias for tests/scripts that drive the fusion explicitly
     def _maybe_fuse_tail(self):
-        """Bake the single-kernel coarse tail (ops/fused_cycle.py) when the
-        level structure fits and we are on a TPU backend (the kernel runs in
+        self._finalize_tpu_kernels()
+
+    def _finalize_tpu_kernels(self):
+        """Bake the single-kernel coarse tail (ops/fused_cycle.py) and the
+        fused Chebyshev smoother (solve/smoothers.fuse_chebyshev) when the
+        level structure fits and we are on a TPU backend (the kernels run in
         interpreter mode on CPU — correct but far too slow for production
-        paths; tests exercise it explicitly).  MFMG_NO_FUSED=1 disables."""
+        paths; tests exercise them explicitly).  MFMG_NO_FUSED=1 disables."""
         import os
         if os.environ.get("MFMG_NO_FUSED"):
             return
@@ -358,6 +371,12 @@ class Hierarchy:
             return
         if self.config.cycle_type != "v":
             return
+        from mfmg_tpu.solve.smoothers import ChebyshevSmoother, fuse_chebyshev
+        l0 = self.levels[0]
+        if isinstance(l0.smoother, ChebyshevSmoother):
+            fsm = fuse_chebyshev(l0.smoother, l0.op)
+            if fsm is not None:
+                self.levels[0] = l0 = dataclasses.replace(l0, smoother=fsm)
         from mfmg_tpu.ops.fused_cycle import build_fused_tail
         fs = build_fused_tail(self.levels,
                               self.config.smoother.n_smoothing_steps)

@@ -145,16 +145,239 @@ def pallas_stencil_apply_tiled(coeffs, x, offsets, grid_shape, bz):
     return y[:gz, :nf].reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "grid_shape"))
-def pallas_stencil_apply(coeffs, x, offsets, grid_shape):
+def pad_planes(coeffs, offsets, grid_shape):
+    """Pre-pad coefficient planes into the resident kernel's (gz_pad, F)
+    layout — done ONCE at operator finalization (ops.stencil.stencil_to_device).
+    XLA does NOT hoist the equivalent jnp.pad out of a jitted cycle loop; the
+    per-apply padded copy measured ~34 us of a 52 us apply at 65^3.
+
+    Runs in HOST numpy: a jitted device pad at setup time costs a remote
+    compilation on tunneled runtimes (measured ~160 s once) for a one-shot
+    17 MB copy."""
+    gz, gy, gx = grid_shape
+    k, nf, F, gz_pad = _layout(grid_shape, offsets)
+    c = np.asarray(coeffs).reshape(-1, gz, nf)
+    out = np.zeros((c.shape[0], gz_pad, F), dtype=c.dtype)
+    out[:, k: k + gz, :nf] = c
+    return jnp.asarray(out)
+
+
+def pad_vec_host(x, offsets, grid_shape):
+    """Host-numpy version of pad_vec for setup-time one-shot pads."""
+    gz, gy, gx = grid_shape
+    k, nf, F, gz_pad = _layout(grid_shape, offsets)
+    v = np.asarray(x).reshape(gz, nf)
+    out = np.zeros((gz_pad, F), dtype=v.dtype)
+    out[k: k + gz, :nf] = v
+    return jnp.asarray(out)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "grid_shape",
+                                             "sym_pos", "pre_padded"))
+def pallas_stencil_apply_sym(coeffs, x, offsets, grid_shape, sym_pos,
+                             pre_padded=False):
+    """Symmetric-pair resident-x kernel: only the center plane and the
+    strictly-positive-offset planes stream from HBM ((n_off+1)/2 of them).
+
+    For each positive offset o the pair contributes
+        y += C_o * shift_{+o}(x) + shift_{-o}(C_o * x)
+    using C_{-o}[i] = C_o[i-o] (matrix symmetry).  Every roll wrap-around
+    either lands in the zero padding or multiplies a zero boundary
+    coefficient — the same argument as the one-sided kernel, applied to the
+    product plane.  Halves the dominant coefficient byte stream."""
+    gz, gy, gx = grid_shape
+    k, nf, F, gz_pad = _layout(grid_shape, offsets)
+    n_pos = len(sym_pos)
+    ctr = offsets.index((0, 0, 0))
+    plane_ids = (ctr,) + tuple(sym_pos)
+
+    xp = jnp.pad(x.reshape(gz, nf), ((k, gz_pad - gz - k), (0, F - nf)))
+    cp = (coeffs if pre_padded else
+          jnp.pad(coeffs.reshape(-1, gz, nf),
+                  ((0, 0), (k, gz_pad - gz - k), (0, F - nf))))
+    fwd_lane = tuple((-(offsets[i][1] * gx + offsets[i][2])) % F
+                     for i in sym_pos)
+    fwd_sub = tuple((-offsets[i][0]) % gz_pad for i in sym_pos)
+    bwd_lane = tuple((offsets[i][1] * gx + offsets[i][2]) % F
+                     for i in sym_pos)
+    bwd_sub = tuple(offsets[i][0] % gz_pad for i in sym_pos)
+
+    def kernel(cp_ref, xp_ref, out_ref, cbuf, sems):
+        def get_copy(j, slot):
+            return pltpu.make_async_copy(cp_ref.at[plane_ids[j]],
+                                         cbuf.at[slot], sems.at[slot])
+
+        get_copy(0, 0).start()
+        xv = xp_ref[:]
+        if n_pos:
+            get_copy(1, 1).start()
+        get_copy(0, 0).wait()
+        acc = cbuf[0].astype(xv.dtype) * xv            # center plane
+        for j in range(n_pos):
+            slot = (j + 1) % 2
+            if j + 2 < n_pos + 1:
+                get_copy(j + 2, 1 - slot).start()
+            get_copy(j + 1, slot).wait()
+            c = cbuf[slot].astype(xv.dtype)
+            v = xv
+            if fwd_sub[j]:
+                v = pltpu.roll(v, fwd_sub[j], axis=0)
+            if fwd_lane[j]:
+                v = pltpu.roll(v, fwd_lane[j], axis=1)
+            acc = acc + c * v                          # C_o * x[i+o]
+            p = c * xv                                 # transpose-scatter pair
+            if bwd_sub[j]:
+                p = pltpu.roll(p, bwd_sub[j], axis=0)
+            if bwd_lane[j]:
+                p = pltpu.roll(p, bwd_lane[j], axis=1)
+            acc = acc + p
+        out_ref[:] = acc
+
+    y = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),         # coeffs stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # x resident
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gz_pad, F), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, gz_pad, F), coeffs.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=(jax.default_backend() == "cpu"),    # CI runs on CPU
+    )(cp, xp)
+    return y[k: k + gz, :nf].reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "grid_shape",
+                                             "sym_pos", "alphas", "betas",
+                                             "want_res"))
+def pallas_cheb_smooth(cp, xpad, bpad, invd_pad, offsets, grid_shape,
+                       sym_pos, alphas, betas, want_res=False):
+    """One WHOLE Chebyshev smoother application x <- x - p(D^-1 A)D^-1(Ax-b)
+    in a single kernel: the (n_off+1)/2 symmetric coefficient planes are
+    DMA'd into VMEM ONCE and reused by every polynomial term (degree applies
+    = degree x 8.8 MB of streaming in the unfused path at 65^3 bf16), and all
+    inter-apply elementwise work happens in VMEM.  With want_res=True the
+    kernel also emits the V-cycle residual A x_s - b (one more apply against
+    the already-resident planes — rolls only, no extra HBM traffic).
+
+    I/O is in the kernel's padded (gz_pad, F) layout; all padding regions of
+    x/b/invd must be zero and then every intermediate stays zero there (the
+    padded coefficient planes are zero, so rolls cannot leak values in).
+
+    deal.II PreconditionChebyshev semantics exactly (solve/smoothers.py
+    _chebyshev_vmult; reference dealii_matrix_free_smoother.cc:34-56).
+    """
+    gz, gy, gx = grid_shape
+    k, nf, F, gz_pad = _layout(grid_shape, offsets)
+    n_pos = len(sym_pos)
+    ctr = offsets.index((0, 0, 0))
+    plane_ids = (ctr,) + tuple(sym_pos)
+    n_planes = len(plane_ids)
+    degree = len(alphas)
+
+    fwd_lane = tuple((-(offsets[i][1] * gx + offsets[i][2])) % F
+                     for i in sym_pos)
+    fwd_sub = tuple((-offsets[i][0]) % gz_pad for i in sym_pos)
+    bwd_lane = tuple((offsets[i][1] * gx + offsets[i][2]) % F
+                     for i in sym_pos)
+    bwd_sub = tuple(offsets[i][0] % gz_pad for i in sym_pos)
+
+    def kernel(cp_ref, xp_ref, bp_ref, invd_ref, *out_refs):
+        out_x = out_refs[0]
+        planes = out_refs[-2]
+        sems = out_refs[-1]
+        for j in range(n_planes):
+            pltpu.make_async_copy(cp_ref.at[plane_ids[j]], planes.at[j],
+                                  sems.at[j]).start()
+        xv = xp_ref[:]
+        bv = bp_ref[:]
+        invd = invd_ref[:]
+        for j in range(n_planes):
+            pltpu.make_async_copy(cp_ref.at[plane_ids[j]], planes.at[j],
+                                  sems.at[j]).wait()
+
+        def apply_A(v):
+            acc = planes[0].astype(v.dtype) * v
+            for j in range(n_pos):
+                c = planes[j + 1].astype(v.dtype)
+                w = v
+                if fwd_sub[j]:
+                    w = pltpu.roll(w, fwd_sub[j], axis=0)
+                if fwd_lane[j]:
+                    w = pltpu.roll(w, fwd_lane[j], axis=1)
+                acc = acc + c * w
+                pr = c * v
+                if bwd_sub[j]:
+                    pr = pltpu.roll(pr, bwd_sub[j], axis=0)
+                if bwd_lane[j]:
+                    pr = pltpu.roll(pr, bwd_lane[j], axis=1)
+                acc = acc + pr
+            return acc
+
+        r = apply_A(xv) - bv
+        z = invd * r
+        p = z
+        dx = alphas[0] * z
+        for i in range(1, degree):
+            r2 = r - apply_A(dx)
+            z = invd * r2
+            p = z + betas[i] * p
+            dx = dx + alphas[i] * p
+        xs = xv - dx
+        out_x[:] = xs
+        if want_res:
+            out_refs[1][:] = apply_A(xs) - bv
+
+    n_out = 2 if want_res else 1
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),         # planes stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((gz_pad, F), xpad.dtype)] * n_out,
+        scratch_shapes=[
+            pltpu.VMEM((n_planes, gz_pad, F), cp.dtype),
+            pltpu.SemaphoreType.DMA((n_planes,)),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=(jax.default_backend() == "cpu"),
+    )(cp, xpad, bpad, invd_pad)
+    return outs if want_res else (outs[0],)
+
+
+def pad_vec(x, offsets, grid_shape):
+    """Flat fine vector -> the resident kernel's zero-padded (gz_pad, F)."""
+    gz, gy, gx = grid_shape
+    k, nf, F, gz_pad = _layout(grid_shape, offsets)
+    return jnp.pad(x.reshape(gz, nf), ((k, gz_pad - gz - k), (0, F - nf)))
+
+
+def unpad_vec(xp, offsets, grid_shape):
+    gz, gy, gx = grid_shape
+    k, nf, F, gz_pad = _layout(grid_shape, offsets)
+    return xp[k: k + gz, :nf].reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "grid_shape",
+                                             "pre_padded"))
+def pallas_stencil_apply(coeffs, x, offsets, grid_shape, pre_padded=False):
     """y = sum_o C_o * shift(x, o); coeffs (n_off,)+grid_shape, x flat."""
     gz, gy, gx = grid_shape
     k, nf, F, gz_pad = _layout(grid_shape, offsets)
     n_off = len(offsets)
 
     xp = jnp.pad(x.reshape(gz, nf), ((k, gz_pad - gz - k), (0, F - nf)))
-    cp = jnp.pad(coeffs.reshape(n_off, gz, nf),
-                 ((0, 0), (k, gz_pad - gz - k), (0, F - nf)))
+    cp = (coeffs if pre_padded else
+          jnp.pad(coeffs.reshape(n_off, gz, nf),
+                  ((0, 0), (k, gz_pad - gz - k), (0, F - nf))))
     lane_shift = tuple((-(off[1] * gx + off[2])) % F for off in offsets)
     sub_shift = tuple((-off[0]) % gz_pad for off in offsets)
 

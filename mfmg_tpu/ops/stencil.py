@@ -36,11 +36,22 @@ class StencilOperator:
 
     grid_shape is (n1_last, ..., n1_x) — C-order node grid (x fastest in the
     flat dof id).  offsets[o] is the per-axis shift in the same axis order.
+
+    sym_pos: for SYMMETRIC operators, indices of the strictly-positive-offset
+    planes (the negative planes satisfy C_{-o}[i] = C_o[i-o] and are never
+    read by the apply — only (n_off+1)/2 planes stream from HBM, halving the
+    dominant byte stream of the V-cycle).  None disables the pair path.
     """
 
     coeffs: jax.Array
     offsets: tuple = dataclasses.field(metadata=dict(static=True))
     grid_shape: tuple = dataclasses.field(metadata=dict(static=True))
+    sym_pos: tuple | None = dataclasses.field(metadata=dict(static=True),
+                                              default=None)
+    # resident-kernel planes pre-padded to (gz_pad, F) at finalization
+    # (stencil_to_device): XLA does not hoist a per-apply jnp.pad out of the
+    # cycle loop — it measured ~34 us of a 52 us apply at 65^3
+    coeffs_padded: object = None
 
     @property
     def shape(self):
@@ -49,6 +60,50 @@ class StencilOperator:
 
     def __matmul__(self, x):
         return stencil_apply(self, x)
+
+    def stream_bytes(self) -> int:
+        """Coefficient bytes one apply actually reads from HBM."""
+        n_planes = (1 + len(self.sym_pos) if self.sym_pos is not None
+                    else len(self.offsets))
+        per = int(np.prod(self.grid_shape)) * self.coeffs.dtype.itemsize
+        return n_planes * per
+
+
+def detect_symmetry(coeffs: np.ndarray, offsets, grid_shape) -> tuple | None:
+    """Host-side check that the stencil is symmetric (C_{-o}[i] = C_o[i-o],
+    i.e. the matrix it represents is symmetric); returns the indices of the
+    strictly positive offsets, or None.
+
+    An offset is "positive" if its first nonzero component is > 0 (total
+    lexicographic order, so offsets pair up exactly)."""
+    idx = {off: i for i, off in enumerate(offsets)}
+    pos = []
+    dim = len(grid_shape)
+    for i, off in enumerate(offsets):
+        if off == (0,) * dim:
+            continue
+        first = next(c for c in off if c != 0)
+        if first < 0:
+            continue
+        neg = tuple(-c for c in off)
+        if neg not in idx:
+            return None
+        pos.append(i)
+        # C_{-o}[i] == C_o[i-o]: compare the negative plane against the
+        # positive plane shifted by +o with zero fill
+        Cp = coeffs[i].reshape(grid_shape)
+        Cn = coeffs[idx[neg]].reshape(grid_shape)
+        shifted = np.zeros_like(Cp)
+        src = tuple(slice(max(0, -o), min(n, n - o))
+                    for o, n in zip(off, grid_shape))
+        dst = tuple(slice(max(0, o), min(n, n + o))
+                    for o, n in zip(off, grid_shape))
+        shifted[dst] = Cp[src]
+        if not np.array_equal(shifted, Cn):
+            return None
+    if (0,) * dim not in idx:
+        return None
+    return tuple(pos)
 
 
 def stencil_apply(op: StencilOperator, x: jax.Array) -> jax.Array:
@@ -66,21 +121,33 @@ def stencil_apply(op: StencilOperator, x: jax.Array) -> jax.Array:
     tested, behind MFMG_TILED_STENCIL=1: at 129^3 it measured 2.8 ms
     (serialized per-plane DMA waits), so it is not the default.
     """
+    import os
+    sym = op.sym_pos if not os.environ.get("MFMG_NO_SYM_STENCIL") else None
     if (jax.default_backend() == "tpu" and len(op.grid_shape) == 3
             and op.coeffs.dtype in (jnp.float32, jnp.bfloat16)
             and x.dtype == jnp.float32):
         from mfmg_tpu.ops.pallas_stencil import (
-            fits_vmem, pallas_stencil_apply, pallas_stencil_apply_tiled,
-            pick_tile_bz)
+            fits_vmem, pallas_stencil_apply, pallas_stencil_apply_sym,
+            pallas_stencil_apply_tiled, pick_tile_bz)
         cb = op.coeffs.dtype.itemsize
         if fits_vmem(op.grid_shape, op.offsets, coeff_bytes=cb):
-            return pallas_stencil_apply(op.coeffs, x, op.offsets, op.grid_shape)
-        import os
+            pre = op.coeffs_padded is not None
+            planes = op.coeffs_padded if pre else op.coeffs
+            if sym is not None:
+                return pallas_stencil_apply_sym(planes, x, op.offsets,
+                                                op.grid_shape, sym,
+                                                pre_padded=pre)
+            return pallas_stencil_apply(planes, x, op.offsets, op.grid_shape,
+                                        pre_padded=pre)
         if os.environ.get("MFMG_TILED_STENCIL"):
             bz = pick_tile_bz(op.grid_shape, op.offsets, coeff_bytes=cb)
             if bz is not None:
                 return pallas_stencil_apply_tiled(op.coeffs, x, op.offsets,
                                                   op.grid_shape, bz)
+    # NOTE: the symmetric-pair trick LOSES on the XLA fallback path (129^3:
+    # 351 -> 839 us measured — XLA materializes the 13 padded product planes
+    # instead of fusing them), so _stencil_apply_xla_sym exists only for the
+    # CPU-exactness tests; the production fallback stays one-sided.
     return _stencil_apply_xla(op, x)
 
 
@@ -105,6 +172,31 @@ def _stencil_apply_xla(op: StencilOperator, x: jax.Array) -> jax.Array:
     y = terms[0]
     for t in terms[1:]:
         y = y + t
+    return y.reshape(x.shape)
+
+
+@jax.jit
+def _stencil_apply_xla_sym(op: StencilOperator, x: jax.Array) -> jax.Array:
+    """Symmetric-pair XLA fallback: only the center + positive-offset planes
+    are read ((n_off+1)/2 of them), halving the dominant HBM stream.  The
+    negative-offset term is the transpose scatter shift_{-o}(C_o * x), exact
+    by matrix symmetry (C_{-o}[i] = C_o[i-o]); all shifts are static slices
+    of zero-padded arrays, so the whole sum stays one XLA fusion."""
+    k = max(max(abs(o) for o in off) for off in op.offsets)
+    dim = len(op.grid_shape)
+    xg = x.reshape(op.grid_shape)
+    xp = jnp.pad(xg, k)
+    ctr = op.offsets.index((0,) * dim)
+    y = op.coeffs[ctr] * xg
+    for i in op.sym_pos:
+        off = op.offsets[i]
+        sl_p = tuple(slice(k + o, k + o + n)
+                     for o, n in zip(off, op.grid_shape))
+        y = y + op.coeffs[i] * xp[sl_p]
+        P = jnp.pad(op.coeffs[i] * xg, k)
+        sl_m = tuple(slice(k - o, k - o + n)
+                     for o, n in zip(off, op.grid_shape))
+        y = y + P[sl_m]
     return y.reshape(x.shape)
 
 
@@ -194,18 +286,32 @@ def stencil_from_cell_matrices(mesh: Mesh, A_loc: np.ndarray,
     nonzero = [i for i in range(len(offsets)) if np.any(coeffs[i])]
     coeffs = coeffs[nonzero]
     offsets = tuple(offsets[i] for i in nonzero)
+    sym_pos = detect_symmetry(coeffs, offsets, grid_shape)
     coeffs = (jnp.asarray(coeffs, dtype=dtype) if device
               else coeffs.astype(jnp.dtype(dtype)))
     return StencilOperator(coeffs=coeffs,
-                           offsets=offsets, grid_shape=grid_shape)
+                           offsets=offsets, grid_shape=grid_shape,
+                           sym_pos=sym_pos)
 
 
 def stencil_to_device(op: StencilOperator) -> StencilOperator:
     """Push a host-built stencil operator's planes to the device (no-op if
     already there)."""
-    if isinstance(op.coeffs, np.ndarray):
-        return StencilOperator(coeffs=jnp.asarray(op.coeffs),
-                               offsets=op.offsets, grid_shape=op.grid_shape)
+    host_coeffs = op.coeffs if isinstance(op.coeffs, np.ndarray) else None
+    if host_coeffs is not None:
+        op = StencilOperator(coeffs=jnp.asarray(op.coeffs),
+                             offsets=op.offsets, grid_shape=op.grid_shape,
+                             sym_pos=op.sym_pos)
+    if (op.coeffs_padded is None and jax.default_backend() == "tpu"
+            and len(op.grid_shape) == 3):
+        from mfmg_tpu.ops.pallas_stencil import fits_vmem, pad_planes
+        if fits_vmem(op.grid_shape, op.offsets,
+                     coeff_bytes=op.coeffs.dtype.itemsize):
+            # pad from the host copy when available: a d2h readback of the
+            # planes costs seconds on tunneled runtimes (4.4 MB/s measured)
+            src = host_coeffs if host_coeffs is not None else op.coeffs
+            op = dataclasses.replace(
+                op, coeffs_padded=pad_planes(src, op.offsets, op.grid_shape))
     return op
 
 
@@ -249,5 +355,7 @@ def stencil_from_csr(A: sp.spmatrix, mesh: Mesh, dtype=jnp.float32) -> StencilOp
     nonzero = [i for i in range(len(offsets)) if np.any(coeffs[i])]
     coeffs = coeffs[nonzero]
     offsets = tuple(offsets[i] for i in nonzero)
+    sym_pos = detect_symmetry(coeffs, offsets, grid_shape)
     return StencilOperator(coeffs=jnp.asarray(coeffs, dtype=dtype),
-                           offsets=offsets, grid_shape=grid_shape)
+                           offsets=offsets, grid_shape=grid_shape,
+                           sym_pos=sym_pos)

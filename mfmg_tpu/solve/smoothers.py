@@ -259,6 +259,70 @@ def _chebyshev_vmult(sm: ChebyshevSmoother, op, src):
     return x
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FusedChebyshevSmoother:
+    """Whole-smoother-application Pallas kernel for symmetric stencil
+    operators (ops/pallas_stencil.pallas_cheb_smooth): the (n_off+1)/2
+    symmetric coefficient planes are loaded into VMEM once and reused by
+    every polynomial term, and all elementwise work between applies stays in
+    VMEM — the unfused path pays one plane stream per polynomial apply plus
+    unfusable pallas/XLA boundaries.  Swapped in by
+    Hierarchy._finalize_tpu_kernels; semantics identical to
+    ChebyshevSmoother (deal.II PreconditionChebyshev,
+    dealii_matrix_free_smoother.cc:34-56)."""
+
+    inv_diag_padded: jax.Array     # zero-padded (gz_pad, F)
+    alphas: tuple = dataclasses.field(metadata=dict(static=True))
+    betas: tuple = dataclasses.field(metadata=dict(static=True))
+    offsets: tuple = dataclasses.field(metadata=dict(static=True))
+    grid_shape: tuple = dataclasses.field(metadata=dict(static=True))
+    sym_pos: tuple = dataclasses.field(metadata=dict(static=True))
+
+    def apply(self, op, b, x):
+        from mfmg_tpu.ops.pallas_stencil import (pad_vec, pallas_cheb_smooth,
+                                                 unpad_vec)
+        xp = pad_vec(x, self.offsets, self.grid_shape)
+        bp = pad_vec(b, self.offsets, self.grid_shape)
+        (out,) = pallas_cheb_smooth(op.coeffs_padded, xp, bp,
+                                    self.inv_diag_padded, self.offsets,
+                                    self.grid_shape, self.sym_pos,
+                                    self.alphas, self.betas)
+        return unpad_vec(out, self.offsets, self.grid_shape)
+
+    def apply_with_residual(self, op, b, x):
+        """(smoothed x, A x_s - b) with the residual computed against the
+        already-VMEM-resident planes (no extra HBM traffic)."""
+        from mfmg_tpu.ops.pallas_stencil import (pad_vec, pallas_cheb_smooth,
+                                                 unpad_vec)
+        xp = pad_vec(x, self.offsets, self.grid_shape)
+        bp = pad_vec(b, self.offsets, self.grid_shape)
+        out, res = pallas_cheb_smooth(op.coeffs_padded, xp, bp,
+                                      self.inv_diag_padded, self.offsets,
+                                      self.grid_shape, self.sym_pos,
+                                      self.alphas, self.betas, want_res=True)
+        return (unpad_vec(out, self.offsets, self.grid_shape),
+                unpad_vec(res, self.offsets, self.grid_shape))
+
+
+def fuse_chebyshev(sm: "ChebyshevSmoother", op) -> FusedChebyshevSmoother | None:
+    """Bake a FusedChebyshevSmoother when op is a symmetric stencil with
+    pre-padded planes; None otherwise."""
+    from mfmg_tpu.ops.stencil import StencilOperator
+
+    if not (isinstance(op, StencilOperator) and op.sym_pos is not None
+            and op.coeffs_padded is not None and len(op.grid_shape) == 3
+            and jnp.dtype(sm.inv_diag.dtype) == jnp.float32):
+        return None
+    from mfmg_tpu.ops.fused_cycle import _cheb_coeffs
+    from mfmg_tpu.ops.pallas_stencil import pad_vec_host
+    alphas, betas = _cheb_coeffs(float(sm.theta), float(sm.delta), sm.degree)
+    invd_p = pad_vec_host(sm.inv_diag, op.offsets, op.grid_shape)
+    return FusedChebyshevSmoother(
+        inv_diag_padded=invd_p, alphas=alphas, betas=betas,
+        offsets=op.offsets, grid_shape=op.grid_shape, sym_pos=op.sym_pos)
+
+
 def _color_operator(op):
     """Distance-1 coloring of the operator graph.
 
