@@ -249,8 +249,9 @@ class Hierarchy:
                 coarse = build_coarse_solver(A_c, bottom_cfg, dtype=self.dtype,
                                              near_null=near_null)
                 _mark(f"coarse solver (n={A_c.shape[0]})")
-                self.levels.append(LevelData(op=self._op_to_device(op),
-                                             coarse=coarse))
+                op_dev = self._op_to_device(op)
+                _mark("final level op upload")
+                self.levels.append(LevelData(op=op_dev, coarse=coarse))
                 break
             smoother_cfg = cfg.smoother
             if (amg_coarse and level >= num_levels - 1
@@ -281,9 +282,11 @@ class Hierarchy:
                     # additive over agglomerates: slab blocks + COO reduce
                     from mfmg_tpu.parallel import dist_setup
                     batch_slab, _ = self._dist_slab
-                    A_coarse = dist_setup.distributed_galerkin(
-                        batch_slab, dof_rows, dof_vals, R.shape[0])
+                    A_coarse, blocks_slab = dist_setup.distributed_galerkin(
+                        batch_slab, dof_rows, dof_vals, R.shape[0],
+                        return_blocks=True)
                     self._level0_blocks = None
+                    self._level0_blocks_slab = blocks_slab
                 else:
                     blocks = agg_galerkin_blocks(batch, dof_rows, dof_vals,
                                                  R.shape[0], eliminate=False)
@@ -396,20 +399,32 @@ class Hierarchy:
             batch_dtype = np.float64 if self.dtype == jnp.float64 else np.float32
             if self._distributed():
                 # each process assembles + eigensolves only its slab; the
-                # eigenvectors are all-gathered (amge.templates.hpp:596-643)
+                # eigenvectors are all-gathered (amge.templates.hpp:596-643).
+                # The slab is ALIGNED TO SUPER-AGGLOMERATE boundaries so the
+                # level-1 recursive restrictor can reuse the same slab (every
+                # member agglomerate of an owned super is local).
+                from mfmg_tpu.amge.multilevel import group_agglomerates
                 from mfmg_tpu.parallel import dist_setup
                 n_agg = int(agg_ids.max()) + 1
-                lo, hi, bounds = dist_setup.slab_range(n_agg)
+                bdims = cfg.agglomeration.block_dims(problem.mesh.dim)
+                super_of_agg, _ = group_agglomerates(problem.mesh, agg_ids,
+                                                     bdims)
+                agg_sel, s_range, _, agg_sels = dist_setup.super_partition(
+                    super_of_agg)
                 batch_slab = build_agglomerate_batch(
                     problem.mesh, problem.A_loc, agg_ids,
-                    batch_dtype=batch_dtype, agg_range=(lo, hi))
+                    batch_dtype=batch_dtype, agg_range=agg_sel)
                 batch = build_agglomerate_batch(
                     problem.mesh, problem.A_loc, agg_ids,
                     batch_dtype=batch_dtype, assemble_operator=False)
                 check_restriction(batch, problem.diag_raw, problem.n_dofs)
-                evals, evecs = dist_setup.distributed_eigensolve(
-                    batch, batch_slab, bounds, self._eigensolve)
-                self._dist_slab = (batch_slab, bounds)
+                evals_s, evecs_s = self._eigensolve(batch_slab)
+                evals = dist_setup.gather_to_rows(
+                    np.asarray(evals_s, dtype=np.float64), agg_sels, n_agg)
+                evecs = dist_setup.gather_to_rows(
+                    np.asarray(evecs_s, dtype=np.float64), agg_sels, n_agg)
+                self._dist_slab = (batch_slab, agg_sels)
+                self._dist_super = s_range
             else:
                 batch = build_agglomerate_batch(problem.mesh, problem.A_loc,
                                                 agg_ids,
@@ -426,17 +441,36 @@ class Hierarchy:
         # reference defaults to 2 levels and delegates deeper hierarchies to
         # ML/AMGX; here the same construction recurses, amge/multilevel.py).
         from mfmg_tpu.amge.multilevel import build_recursive_restriction
-        prev_batch = self._level0_eigendata[0] if level == 1 else None
-        if prev_batch is not None and prev_batch.A_agg is None:
-            prev_batch = None            # distributed setup: light batch only
-        prev_blocks = getattr(self, "_level0_blocks", None) if level == 1 else None
         n_evd = (cfg.eigensolver.n_eigenvectors_deep
                  or cfg.eigensolver.n_eigenvectors)
-        R_l, cell_super, super_grid = build_recursive_restriction(
-            problem.mesh, problem.A_loc, self._cell_agg, self._R_composed,
-            self._A_per_level[level], problem.constrained,
-            n_evd, cfg.agglomeration.block_dims(problem.mesh.dim),
-            prev_batch=prev_batch, prev_blocks=prev_blocks)
+        if (level == 1 and self._distributed()
+                and getattr(self, "_dist_super", None) is not None
+                and getattr(self, "_dist_slab", None) is not None
+                and self._dist_slab[0].A_agg is not None):
+            # level-1 setup distributed over super slabs: each process solves
+            # only its supers' pencils and the restriction rows are
+            # allgathered (amge.templates.hpp:596-643, every level)
+            from mfmg_tpu.parallel import dist_setup
+            R_l, cell_super, super_grid = (
+                dist_setup.distributed_recursive_restriction(
+                    problem.mesh, problem.A_loc, self._cell_agg,
+                    self._R_composed, self._A_per_level[level],
+                    problem.constrained, n_evd,
+                    cfg.agglomeration.block_dims(problem.mesh.dim),
+                    self._dist_slab[0],
+                    getattr(self, "_level0_blocks_slab", None),
+                    self._dist_super))
+        else:
+            prev_batch = self._level0_eigendata[0] if level == 1 else None
+            if prev_batch is not None and prev_batch.A_agg is None:
+                prev_batch = None        # distributed setup: light batch only
+            prev_blocks = (getattr(self, "_level0_blocks", None)
+                           if level == 1 else None)
+            R_l, cell_super, super_grid = build_recursive_restriction(
+                problem.mesh, problem.A_loc, self._cell_agg, self._R_composed,
+                self._A_per_level[level], problem.constrained,
+                n_evd, cfg.agglomeration.block_dims(problem.mesh.dim),
+                prev_batch=prev_batch, prev_blocks=prev_blocks)
         self._cell_agg = cell_super
         self._R_composed = (R_l @ self._R_composed).tocsr()
         self._super_grid_xyz = super_grid

@@ -71,9 +71,10 @@ def build_agglomerate_batch(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray,
     diagonals are always accumulated in float64 (the partition-of-unity
     identity is checked to 1e-12).
 
-    agg_range: optional (lo, hi) — build ONLY agglomerates lo..hi-1 (the
-    distributed-setup slab path, parallel/dist_setup.py: each process
-    assembles and eigensolves its own contiguous agglomerate slab).
+    agg_range: optional (lo, hi) tuple OR integer index array — build ONLY
+    those agglomerates (the distributed-setup slab path,
+    parallel/dist_setup.py: each process assembles and eigensolves its own
+    slab; super-aligned partitions pass index arrays).
 
     assemble_operator=False skips the dense A_agg assembly (A_agg = None):
     the "light" batch carrying only dof_map/diag/valid/constrained — what
@@ -87,11 +88,12 @@ def build_agglomerate_batch(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray,
         return fast
     batch = _build_generic(mesh, A_loc, agg_ids)
     if agg_range is not None:
-        lo, hi = agg_range
+        sel = (np.asarray(agg_range) if not isinstance(agg_range, tuple)
+               else np.arange(agg_range[0], agg_range[1]))
         batch = AgglomerateBatch(
-            dof_map=batch.dof_map[lo:hi], valid=batch.valid[lo:hi],
-            A_agg=batch.A_agg[lo:hi], diag=batch.diag[lo:hi],
-            constrained=batch.constrained[lo:hi], sizes=batch.sizes[lo:hi])
+            dof_map=batch.dof_map[sel], valid=batch.valid[sel],
+            A_agg=batch.A_agg[sel], diag=batch.diag[sel],
+            constrained=batch.constrained[sel], sizes=batch.sizes[sel])
     if np.dtype(batch_dtype) != np.float64 and batch.A_agg is not None:
         batch.A_agg = batch.A_agg.astype(batch_dtype)
     return batch
@@ -142,9 +144,14 @@ def _try_build_structured(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray,
     agg_origin_mi = np.stack(np.meshgrid(*[np.arange(a) for a in n_agg_dim], indexing="ij"),
                              axis=-1).reshape(-1, dim, order="F") * bdims
     if agg_range is not None:
-        lo, hi = agg_range
-        agg_origin_mi = agg_origin_mi[lo:hi]
-        n_agg = hi - lo
+        if isinstance(agg_range, tuple):
+            lo, hi = agg_range
+            agg_origin_mi = agg_origin_mi[lo:hi]
+            n_agg = hi - lo
+        else:
+            sel = np.asarray(agg_range)
+            agg_origin_mi = agg_origin_mi[sel]
+            n_agg = len(sel)
     cells_per_agg = (agg_origin_mi[:, None, :] + bc[None, :, :]) @ gstride  # (n_agg, n_bc)
 
     # global dof map per agglomerate (lexicographic local order)

@@ -125,7 +125,8 @@ def build_recursive_restriction(mesh: Mesh, A_loc: np.ndarray,
                                 boundary_dofs: np.ndarray,
                                 n_ev: int, block_dims,
                                 prev_batch=None, prev_blocks=None,
-                                local_space: str = "overlap") -> tuple:
+                                local_space: str = "overlap",
+                                super_range=None) -> tuple:
     """One more AMGe level; returns (R_l csr over previous coarse, cell_super,
     super_grid).
 
@@ -135,6 +136,17 @@ def build_recursive_restriction(mesh: Mesh, A_loc: np.ndarray,
 
     prev_batch: the previous level's AgglomerateBatch, if available — enables
     the per-agglomerate BLAS-3 block path (see module docstring).
+
+    super_range: optional (s_lo, s_hi) DISTRIBUTED-SETUP slab — build only
+    these supers' restriction rows.  prev_batch/prev_blocks must then be the
+    slab batch covering exactly the member agglomerates of [s_lo, s_hi)
+    (parallel/dist_setup.py aligns the level-0 slabs to super boundaries).
+    The returned R_l has (s_hi - s_lo) * n_ev LOCAL rows (no empty-row
+    dropping — the caller offsets by s_lo * n_ev, allgathers and drops);
+    everything per super is computed exactly as in the replicated build
+    (assembly is additive over MEMBER agglomerates, all of which are in the
+    slab) — the analog of the reference's every-level MPI distribution
+    (amge.templates.hpp:596-643).
     """
     super_of_agg, super_grid = group_agglomerates(mesh, cell_agg_prev, block_dims)
     cell_super = super_of_agg[cell_agg_prev]
@@ -144,6 +156,19 @@ def build_recursive_restriction(mesh: Mesh, A_loc: np.ndarray,
 
     R = R_prev_local.tocsr()
     dof_rows, dof_vals = _dof_row_structure(R)
+
+    if super_range is not None:
+        s_lo, s_hi = super_range
+        agg_sel = np.nonzero((super_of_agg >= s_lo) & (super_of_agg < s_hi))[0]
+        if prev_batch is None or prev_batch.n_agg != len(agg_sel):
+            raise ValueError("super_range needs the matching slab batch")
+        G_local = super_of_agg[agg_sel] - s_lo
+        A1, M, m1s, member_pad = _super_blocks_per_agg(
+            prev_batch, G_local, dof_rows, dof_vals, n_rows_prev,
+            s_hi - s_lo, blocks=prev_blocks)
+        R_l = _solve_and_assemble(A1, M, m1s, member_pad, coarse_diag, n_ev,
+                                  n_rows_prev, s_hi - s_lo, drop_empty=False)
+        return R_l, cell_super, super_grid
 
     interior = False
     if prev_batch is not None and prev_batch.n_agg == len(super_of_agg):
@@ -449,7 +474,8 @@ def _run_threaded(fn, n, min_per_worker=16):
 
 
 def _solve_and_assemble(A1, M, m1s, member_pad, coarse_diag, n_ev,
-                        n_rows_prev, n_super, unit_weights=False):
+                        n_rows_prev, n_super, unit_weights=False,
+                        drop_empty=True):
     # ---- per-super rank-revealing eigensolves (threaded LAPACK) ----------
     # The degenerate pencil (A1, M) is reduced with a rank-revealing
     # M-orthonormal basis W (W^T M W = I restricted to range(M)), either by
@@ -537,5 +563,7 @@ def _solve_and_assemble(A1, M, m1s, member_pad, coarse_diag, n_ev,
     vals_out = cols_pad[gsel, jsel][mask]
     R_l = sp.csr_matrix((vals_out, (rows_out, cols_out)),
                         shape=(n_super * n_ev, n_rows_prev))
+    if not drop_empty:
+        return R_l      # distributed slabs: keep row offsets stable
     nonzero = np.diff(R_l.indptr) > 0
     return R_l[nonzero]

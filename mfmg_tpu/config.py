@@ -194,8 +194,15 @@ class Config:
     coeff_dtype: str | None = None
 
     @staticmethod
-    def from_dict(d: dict) -> "Config":
-        """Build a Config from a nested dict using mfmg's .info key names."""
+    def from_dict(d: dict, info_style: bool = False) -> "Config":
+        """Build a Config from a nested dict using mfmg's .info key names.
+
+        info_style=True marks a reference-style .info input: the smoother's
+        eigenvalue estimator then defaults to the reference's own deal.II
+        8-step CG estimate for golden parity.  Native (JSON/Python) configs
+        keep the production 'lanczos' default — the 8-step estimate
+        underestimates lmax at 1e5+ dofs (PCG 10 -> 17 measured at 274k).
+        """
         cfg = Config()
         cfg.max_levels = int(d.get("max levels", d.get("max_levels", cfg.max_levels)))
         cfg.cycle_type = str(d.get("cycle type", d.get("cycle_type", cfg.cycle_type))).strip().lower()
@@ -231,8 +238,11 @@ class Config:
             smoothing_range=float(s.get("smoothing_range", 0.0)),
             max_eigenvalue=(float(s["max_eigenvalue"]) if "max_eigenvalue" in s else None),
             # .info configs are reference-style inputs: default to the
-            # reference's own (deal.II 8-step) estimator for parity there.
-            eig_estimate=s.get("eig_estimate", "dealii_cg").strip().lower(),
+            # reference's own (deal.II 8-step) estimator for parity there;
+            # native configs keep the production default.
+            eig_estimate=s.get("eig_estimate",
+                               "dealii_cg" if info_style
+                               else cfg.smoother.eig_estimate).strip().lower(),
             eig_cg_n_iterations=int(s.get("eig_cg_n_iterations", 8)),
             jacobi_omega=float(s.get("jacobi_omega", 1.0)),
         )

@@ -67,10 +67,13 @@ def main(argv=None):
         else:
             from mfmg_tpu.utils.info_parser import load_info
             cfg_dict = load_info(args.file)
-    if cfg_dict:
+    is_info = bool(args.file) and not args.file.endswith(".json")
+    if cfg_dict and is_info:
         # the reference driver's forced settings (hierarchy_driver.cc:255-272)
-        # for reference-style .info runs: fast AP, LOBPCG at 1e-3, and the
-        # use_raw_ml 'uncover' of the hidden ML parameter subtree
+        # apply to reference-style .info runs ONLY: fast AP, LOBPCG at 1e-3,
+        # and the use_raw_ml 'uncover' of the hidden ML parameter subtree.
+        # Native JSON configs keep their explicit eigensolver choice
+        # (lapack/arpack/lanczos stay reachable through the CLI).
         use_raw_ml = (args.raw_ml or str(cfg_dict.get("use_raw_ml", "false"))
                       .strip().lower() in ("true", "1", "yes"))
         if (not args.matrix_free and use_raw_ml
@@ -81,7 +84,7 @@ def main(argv=None):
         cfg_dict.setdefault("eigensolver", {})
         cfg_dict["eigensolver"]["type"] = "anasazi"
         cfg_dict["eigensolver"]["tolerance"] = 1e-3
-    cfg = Config.from_dict(cfg_dict)
+    cfg = Config.from_dict(cfg_dict, info_style=is_info)
     if args.matrix_free:
         cfg.operator = "matrix_free"
         if cfg.smoother.type == "jacobi":

@@ -43,18 +43,36 @@ def batched_arpack_smallest(batch, eig_cfg, constrained_mode: str = "pin"):
     # (dealii_mesh_evaluator.cc:43-55)
     rng = np.random.default_rng(0)
 
+    def _dense_fallback(g, Mg, sz):
+        # dense subset eigh — used when the agglomerate is too small for the
+        # Arnoldi basis (scipy needs n_ev < ncv <= sz) or when sigma=0
+        # shift-invert hits a singular local operator (interior Neumann
+        # agglomerates under constrained_mode='raw'/'identity')
+        import scipy.linalg as sla
+        w, v = sla.eigh(Mg, subset_by_index=[0, n_ev - 1], driver="evr",
+                        check_finite=False)
+        evals[g] = w[:n_ev] - shifts[g]
+        evecs[g, :sz] = v[:, :n_ev]
+
     def _solve_range(lo, hi):
         for g in range(lo, hi):
             sz = int(batch.sizes[g])
             Mg = np.asarray(Mop[g, :sz, :sz], dtype=np.float64)
+            if sz < 2 * n_ev + 3:
+                _dense_fallback(g, Mg, sz)
+                continue
             ncv = min(2 * n_ev + 2, sz)          # n_arnoldi (templates.hpp:416)
             v0 = rng.uniform(0.0, 1.0, size=sz)
             v0[np.asarray(batch.constrained[g, :sz])] = 0.0
             if not v0.any():
                 v0 = None
-            w, v = eigsh(Mg, k=n_ev, sigma=0.0, which="LM", ncv=ncv,
-                         tol=eig_cfg.tolerance, v0=v0,
-                         maxiter=eig_cfg.max_iterations * sz)
+            try:
+                w, v = eigsh(Mg, k=n_ev, sigma=0.0, which="LM", ncv=ncv,
+                             tol=eig_cfg.tolerance, v0=v0,
+                             maxiter=eig_cfg.max_iterations * sz)
+            except Exception:
+                _dense_fallback(g, Mg, sz)       # singular factorization etc.
+                continue
             order = np.argsort(w)
             evals[g] = w[order] - shifts[g]
             evecs[g, :sz] = v[:, order]

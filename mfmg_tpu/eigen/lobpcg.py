@@ -97,6 +97,12 @@ def batched_lobpcg_smallest(batch, eig_cfg, constrained_mode: str = "pin",
         # Also returns the Ritz coefficients IN THE S BASIS (c = RR^{-1} V,
         # from S = Q RR) so the caller can form the classical LOBPCG
         # conjugate direction from the R,P block components.
+        if S.shape[2] > S.shape[1]:
+            # more trial columns than dofs (m_max < 3*n_ev): the reduced QR's
+            # RR is non-square and the triangular solve below is undefined —
+            # use the whitened-pencil path, whose masked Gram handles the
+            # necessarily rank-deficient basis
+            return rayleigh_ritz_raw(S)
         Q, RR = jnp.linalg.qr(S)
         T = jnp.einsum("gmi,gmn,gnj->gij", Q, A, Q)
         T = 0.5 * (T + jnp.swapaxes(T, 1, 2))

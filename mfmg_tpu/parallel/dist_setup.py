@@ -1,16 +1,23 @@
-"""Distributed (multi-process) level-0 setup.
+"""Distributed (multi-process) hierarchy setup: levels 0 AND 1.
 
 The reference's entire setup runs under MPI domain decomposition: each rank
 builds only its own agglomerates, and the restriction matrix is assembled by
 allgathering the per-rank row counts and rows
-(/root/reference/include/mfmg/common/amge.templates.hpp:596-643).
+(/root/reference/include/mfmg/common/amge.templates.hpp:596-643) — at every
+level of the hierarchy.
 
 TPU-native analog over ``jax.distributed`` processes:
 
-  * the agglomerates are split into contiguous slabs (the block walk is
-    x->y->z, so a contiguous id range IS a spatial slab);
+  * SUPER-agglomerates (the level-1 groups) are split into contiguous
+    slabs, and each process's level-0 slab is its supers' member
+    agglomerates (super_partition) — one partition drives the level-0
+    eigensolve, the level-0 Galerkin blocks AND the level-1 recursive
+    restrictor (distributed_recursive_restriction), so the two dominant
+    setup stages both scale 1/P;
   * each process assembles only its slab's dense batch and eigensolves it —
     the dominant setup cost scales 1/P;
+  * levels >= 2 (a few hundred dofs) remain replicated: their setup cost is
+    microscopic and the allgathered level-1 operator is global anyway;
   * the slab eigenvectors are exchanged with ONE padded device all-gather
     (multihost_utils.process_allgather — the analog of the reference's
     MPI_Allgather), after which every process assembles the full R locally
@@ -80,24 +87,61 @@ def distributed_eigensolve(batch_full_light, batch_slab, bounds, eigensolve):
     return evals, evecs
 
 
-def distributed_galerkin(batch_slab, dof_rows, dof_vals, n_rows):
-    """Slab contribution to A_c = R A R^T, summed across processes.
+def super_partition(super_of_agg: np.ndarray, nproc: int | None = None,
+                    pid: int | None = None):
+    """Partition SUPER-agglomerates into contiguous slabs and derive each
+    process's level-0 agglomerate index set (its supers' member aggs).
 
-    Assembly is additive over agglomerates, so each process scatters only
-    its own slab's Galerkin blocks; the COO triplets are all-gathered and
-    summed (the small-coarse-matrix analog of Trilinos compress)."""
-    import scipy.sparse as sp
-    from mfmg_tpu.amge.multilevel import (agg_galerkin_blocks,
-                                          galerkin_product_from_blocks)
+    Aligning the level-0 slab to super boundaries lets the SAME slab batch
+    drive the level-0 eigensolve, the level-0 Galerkin blocks AND the
+    level-1 recursive restrictor (every member agglomerate of an owned super
+    is local) — the analog of the reference's every-level domain
+    decomposition (amge.templates.hpp:596-643).
 
-    blocks = agg_galerkin_blocks(batch_slab, dof_rows, dof_vals, n_rows,
-                                 eliminate=False)
-    A_part = galerkin_product_from_blocks(blocks, n_rows).tocoo()
-    # pad COO to the global max nnz and gather
+    Returns (agg_sel (this process), (s_lo, s_hi), sel_counts (per process),
+    agg_sels (list per process — deterministic, no communication needed)).
+    """
     import jax
-    nnz = np.array([A_part.nnz], dtype=np.int64)
-    from jax.experimental import multihost_utils
+
+    nproc = nproc if nproc is not None else jax.process_count()
+    pid = pid if pid is not None else jax.process_index()
+    n_super = int(super_of_agg.max()) + 1
+    bounds = np.linspace(0, n_super, nproc + 1).astype(int)
+    agg_sels = [np.nonzero((super_of_agg >= bounds[p])
+                           & (super_of_agg < bounds[p + 1]))[0]
+                for p in range(nproc)]
+    counts = np.array([len(s) for s in agg_sels])
+    return (agg_sels[pid], (int(bounds[pid]), int(bounds[pid + 1])),
+            counts, agg_sels)
+
+
+def gather_to_rows(arr_slab: np.ndarray, agg_sels, n_total: int) -> np.ndarray:
+    """All-gather per-process row slabs (selected by arbitrary index sets)
+    into the full (n_total, ...) array."""
+    counts = np.array([len(s) for s in agg_sels])
+    m = int(counts.max())
     import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    pad = np.zeros((m,) + arr_slab.shape[1:], dtype=arr_slab.dtype)
+    pad[: arr_slab.shape[0]] = arr_slab
+    g = np.asarray(multihost_utils.process_allgather(jnp.asarray(pad)))
+    out = np.zeros((n_total,) + arr_slab.shape[1:], dtype=arr_slab.dtype)
+    for p, sel in enumerate(agg_sels):
+        out[sel] = g[p, : counts[p]]
+    return out
+
+
+def allgather_coo(A_part, shape):
+    """Sum per-process sparse contributions: pad COO triplets to the max
+    nnz, one device all-gather each, rebuild + sum_duplicates (the analog of
+    Trilinos compress after per-rank assembly)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from jax.experimental import multihost_utils
+
+    A_part = A_part.tocoo()
+    nnz = np.array([A_part.nnz], dtype=np.int64)
     all_nnz = np.asarray(multihost_utils.process_allgather(jnp.asarray(nnz)))
     m = int(all_nnz.max())
     rows = np.zeros(m, dtype=np.int64)
@@ -113,10 +157,56 @@ def distributed_galerkin(batch_slab, dof_rows, dof_vals, n_rows):
     r = np.concatenate([g_rows[p, : counts[p]] for p in range(len(counts))])
     c = np.concatenate([g_cols[p, : counts[p]] for p in range(len(counts))])
     v = np.concatenate([g_vals[p, : counts[p]] for p in range(len(counts))])
-    A = sp.csr_matrix((v, (r, c)), shape=(n_rows, n_rows))
+    A = sp.csr_matrix((v, (r, c)), shape=shape)
     A.sum_duplicates()
-    A.eliminate_zeros()
     return A
+
+
+def distributed_recursive_restriction(mesh, A_loc, cell_agg_prev, R_prev,
+                                      A_coarse_prev, boundary_dofs, n_ev,
+                                      block_dims, batch_slab, blocks_slab,
+                                      super_range):
+    """Level-1 restrictor with each process building only its super slab
+    (the deep-level analog of distributed_eigensolve): local rows are
+    offset to their global position, allgathered as COO, and empty rows
+    (supers whose pencil lost rank) dropped globally."""
+    from mfmg_tpu.amge.multilevel import build_recursive_restriction
+
+    R_local, cell_super, super_grid = build_recursive_restriction(
+        mesh, A_loc, cell_agg_prev, R_prev, A_coarse_prev, boundary_dofs,
+        n_ev, block_dims, prev_batch=batch_slab, prev_blocks=blocks_slab,
+        super_range=super_range)
+    n_super = int(cell_super.max()) + 1
+    s_lo, _ = super_range
+    part = R_local.tocoo()
+    import scipy.sparse as sp
+    shifted = sp.coo_matrix(
+        (part.data, (part.row + s_lo * n_ev, part.col)),
+        shape=(n_super * n_ev, R_local.shape[1]))
+    R_full = allgather_coo(shifted, shifted.shape)
+    nonzero = np.diff(R_full.indptr) > 0
+    return R_full[nonzero], cell_super, super_grid
+
+
+def distributed_galerkin(batch_slab, dof_rows, dof_vals, n_rows,
+                         return_blocks: bool = False):
+    """Slab contribution to A_c = R A R^T, summed across processes.
+
+    Assembly is additive over agglomerates, so each process scatters only
+    its own slab's Galerkin blocks; the COO triplets are all-gathered and
+    summed (the small-coarse-matrix analog of Trilinos compress).
+
+    return_blocks=True also returns the slab's AggBlocks for reuse by the
+    distributed level-1 restrictor."""
+    from mfmg_tpu.amge.multilevel import (agg_galerkin_blocks,
+                                          galerkin_product_from_blocks)
+
+    blocks = agg_galerkin_blocks(batch_slab, dof_rows, dof_vals, n_rows,
+                                 eliminate=False)
+    A_part = galerkin_product_from_blocks(blocks, n_rows)
+    A = allgather_coo(A_part, (n_rows, n_rows))
+    A.eliminate_zeros()
+    return (A, blocks) if return_blocks else A
 
 
 def distributed_stencil_planes(mesh, A_loc, n_offsets: int, n_nodes: int,

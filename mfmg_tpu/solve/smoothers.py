@@ -79,7 +79,12 @@ class MulticolorGSSmoother:
             order = order + order[::-1]
         if (isinstance(op, StencilOperator)
                 and jax.default_backend() != "tpu"):
-            return _stencil_color_sweep(op, self.inv_diag, b, x, order)
+            k = max(max(abs(o) for o in off) for off in op.offsets)
+            if self.n_colors == (k + 1) ** len(op.grid_shape):
+                return _stencil_color_sweep(op, self.inv_diag, b, x, order)
+            # a grid with an axis shorter than k+1 compresses away unused
+            # colors (_color_operator's np.unique); the sublattice sweep
+            # needs the full lattice coloring, so use the masked form
         for c in order:
             r = apply_op(op, x) - b
             mask = self.colors == c

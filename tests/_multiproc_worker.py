@@ -89,24 +89,36 @@ def main():
 
     from mfmg_tpu.amge.hierarchy import measure_vcycle_rate
 
-    cfg_d = dataclasses.replace(cfg, distributed_setup=True)
+    # 3 levels so the DEEP (level-1 recursive) restrictor runs distributed
+    # too (the reference's setup is MPI-decomposed at every level,
+    # amge.templates.hpp:596-643)
+    from mfmg_tpu.config import EigensolverConfig
+    cfg3 = dataclasses.replace(
+        cfg, max_levels=3,
+        eigensolver=EigensolverConfig(n_eigenvectors=2, n_eigenvectors_deep=2))
+    hier3 = Hierarchy(prob, cfg3)
+    cfg_d = dataclasses.replace(cfg3, distributed_setup=True)
     hier_d = Hierarchy(prob, cfg_d)
     assert hier_d._distributed()
-    # the slab really was a slab (not the whole batch)
-    batch_slab, bounds = hier_d._dist_slab
+    # the slab really was a slab (not the whole batch), super-aligned
+    batch_slab, agg_sels = hier_d._dist_slab
     n_agg = hier_d._level0_eigendata[0].n_agg
     assert batch_slab.n_agg < n_agg or nproc == 1, (batch_slab.n_agg, n_agg)
+    assert len(agg_sels) == nproc
     assert hier_d._level0_eigendata[0].A_agg is None      # light full batch
-    # restriction and coarse operator match the replicated setup
-    R_r = hier._R_composed
+    # restriction and coarse operators at EVERY level match the replicated
+    # setup bitwise-close
+    R_r = hier3._R_composed
     R_d = hier_d._R_composed
-    assert (R_r != R_d).nnz == 0 or abs(R_r - R_d).max() < 1e-12
-    dA = abs(hier._A_per_level[1] - hier_d._A_per_level[1]).max()
-    assert dA < 1e-11, dA
+    assert R_r.shape == R_d.shape, (R_r.shape, R_d.shape)
+    assert abs(R_r - R_d).max() < 1e-11
+    for lvl in (1, 2):
+        dA = abs(hier3._A_per_level[lvl] - hier_d._A_per_level[lvl]).max()
+        assert dA < 1e-10, (lvl, dA)
     # the V-cycle rate agrees
     # (the distributed Galerkin COO reduce sums in a different order, so the
     # coarse operator differs at float64 roundoff — rates agree to ~1e-9)
-    r_ref = measure_vcycle_rate(hier, n_cycles=10, seed=0)
+    r_ref = measure_vcycle_rate(hier3, n_cycles=10, seed=0)
     r_dist = measure_vcycle_rate(hier_d, n_cycles=10, seed=0)
     assert abs(r_ref - r_dist) < 1e-8, (r_ref, r_dist)
 
