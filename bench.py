@@ -47,6 +47,98 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _measure_large(cycles_fn_template=None):
+    """2.15M-dof block (bench_large.py config) folded into the driver bench:
+    129^3 stencil fine level, 3-level AMGe, bf16 coefficient planes.  Runs
+    after the main metric with a time budget; any failure is recorded, never
+    fatal."""
+    import os
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from mfmg_tpu import Config, Hierarchy, LaplaceProblem
+    from mfmg_tpu.amge.hierarchy import _vcycle
+    from mfmg_tpu.config import (AgglomerationConfig, CoarseConfig,
+                                 SmootherConfig)
+
+    t0 = time.perf_counter()
+    prob = LaplaceProblem.hyper_cube(3, 7, material_property="linear")
+    cfg = Config(max_levels=3, operator="stencil", dtype="float32",
+                 coeff_dtype="bfloat16",
+                 smoother=SmootherConfig(type="chebyshev", degree=2),
+                 agglomeration=AgglomerationConfig(nx=4, ny=4, nz=4),
+                 coarse=CoarseConfig(type="direct"))
+    # hierarchy cache (VERDICT r3 item #8): the first run saves the built
+    # hierarchy; later runs (incl. the driver's end-of-round bench) load it
+    # and skip the setup.  setup_s always reports the FRESH build time (from
+    # the sidecar on cache hits) — it is itself a tracked metric.
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_large_hier.npz")
+    sidecar = cache + ".meta.json"
+    if os.path.exists(cache) and os.path.exists(sidecar):
+        hier = Hierarchy.load(cache, prob)
+        with open(sidecar) as f:
+            setup_s = json.load(f)["fresh_setup_s"]
+        log(f"large: loaded cached hierarchy ({time.perf_counter()-t0:.1f}s "
+            f"incl. problem build; fresh setup was {setup_s:.1f}s)")
+    else:
+        t1 = time.perf_counter()
+        hier = Hierarchy(prob, cfg)
+        setup_s = time.perf_counter() - t1
+        try:
+            hier.save(cache)
+            with open(sidecar, "w") as f:
+                json.dump({"fresh_setup_s": setup_s}, f)
+        except Exception as e:
+            log(f"large cache save failed: {e!r}")
+        log(f"large setup: n_dofs={prob.n_dofs} t={setup_s:.1f}s")
+
+    levels = tuple(hier.levels)
+    nss = cfg.smoother.n_smoothing_steps
+
+    @partial(jax.jit, static_argnames=("n",))
+    def cycles(levels, b, x, n):
+        def body(i, x):
+            return _vcycle(levels, b, x, 0, nss, False)
+        return jax.lax.fori_loop(0, n, body, x)
+
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.uniform(size=prob.n_dofs).astype(np.float32))
+
+    def _fresh():
+        seed = int.from_bytes(os.urandom(4), "little")
+        v = jnp.asarray(np.random.default_rng(seed).uniform(
+            size=prob.n_dofs).astype(np.float32))
+        jax.block_until_ready(v)
+        return v
+
+    def timed(n):
+        v = _fresh()
+        t1 = time.perf_counter()
+        out = cycles(levels, b, v, n)
+        assert np.isfinite(float(jnp.vdot(out, out)))
+        return time.perf_counter() - t1
+
+    N_LO, N_HI = 10, 60                 # ~5 ms cycle: 300 ms >> jitter
+    timed(N_LO), timed(N_HI)
+    slopes = []
+    for _ in range(6):
+        tl, th = timed(N_LO), timed(N_HI)
+        if 0 < tl < th:
+            slopes.append((th - tl) / (N_HI - N_LO))
+        if len(slopes) >= 3:
+            break
+    dt = float(np.median(slopes))
+    xs, info = hier.solve_cg(b, tol=1e-5, maxiter=50)
+    log(f"large: {dt*1e3:.2f} ms/cycle -> {prob.n_dofs/dt:.3e} DoF/s, "
+        f"pcg {int(info['iterations'])}")
+    return {"n_dofs": prob.n_dofs, "ms_per_vcycle": dt * 1e3,
+            "dof_per_s": prob.n_dofs / dt, "setup_s": setup_s,
+            "pcg_iterations": int(info["iterations"])}
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -172,6 +264,48 @@ def main():
     iters = int(info["iterations"])
     log(f"pcg: {iters} iterations, relres {float(info['relres']):.2e}")
 
+    # ---- same-session A/B against the PREVIOUS configuration (round-3
+    # verdict item #10): the unfused cycle (generic recursion + plain
+    # Chebyshev smoother — what round 3 shipped) timed in THIS process, so
+    # the round-over-round delta is immune to the ~2x cross-session clock
+    # drift of the tunneled chip.
+    ab_prev = None
+    try:
+        import dataclasses as _dc
+        l0 = levels[0]
+        sm_prev = getattr(hier, "_unfused_smoother0", None)
+        if l0.fused is not None and sm_prev is not None:
+            levels_prev = (_dc.replace(l0, fused=None, smoother=sm_prev),
+                           ) + levels[1:]
+
+            def _timed_prev(n):
+                v = _fresh()
+                t0 = time.perf_counter()
+                out = cycles(levels_prev, b, v, n)
+                assert np.isfinite(float(jnp.vdot(out, out)))
+                return time.perf_counter() - t0
+
+            _timed_prev(N_LO), _timed_prev(N_HI)
+            dt_prev, _, _ = _two_point(_timed_prev, N_LO, N_HI)
+            ab_prev = {"ms_per_vcycle_unfused": dt_prev * 1e3,
+                       "speedup_vs_unfused": dt_prev / dt}
+            log(f"ab_vs_prev: unfused {dt_prev*1e3:.3f} ms/cycle -> "
+                f"{dt_prev/dt:.2f}x same-session speedup")
+    except Exception as e:              # never let the A/B sink the bench
+        log(f"ab_vs_prev failed: {e!r}")
+
+    # ---- large (2.1M-dof) block, time-budgeted (round-3 verdict item #8):
+    # scale regressions surface in the driver-captured BENCH_r*.json.
+    large = None
+    import os as _os2
+    if (not _os2.environ.get("MFMG_BENCH_SKIP_LARGE")
+            and time.perf_counter() - t0 < 900):
+        try:
+            large = _measure_large(cycles_fn_template=None)
+        except Exception as e:
+            log(f"large block failed: {e!r}")
+            large = {"error": repr(e)}
+
     # Speed-of-light accounting: COMPULSORY HBM bytes each V-cycle must move
     # (operator data + in/out vectors once per apply; transfer matrices once
     # per direction; coarse inverse once).  This is a lower bound — it
@@ -288,7 +422,9 @@ def main():
                                 "setup_s": setup_s,
                                 "pct_of_sol": pct_sol,
                                 "triad_gb_s": triad_bw,
-                                "pcg_iterations": iters}}))
+                                "pcg_iterations": iters,
+                                "ab_vs_prev": ab_prev,
+                                "large": large}}))
 
 
 if __name__ == "__main__":

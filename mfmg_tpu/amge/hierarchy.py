@@ -379,6 +379,8 @@ class Hierarchy:
         if isinstance(l0.smoother, ChebyshevSmoother):
             fsm = fuse_chebyshev(l0.smoother, l0.op)
             if fsm is not None:
+                # consumers that need the plain form (SPMD builder) use this
+                self._unfused_smoother0 = l0.smoother
                 self.levels[0] = l0 = dataclasses.replace(l0, smoother=fsm)
         from mfmg_tpu.ops.fused_cycle import build_fused_tail
         fs = build_fused_tail(self.levels,

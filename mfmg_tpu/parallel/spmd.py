@@ -87,7 +87,10 @@ def build_spmd_vcycle(hier, n_devices: int | None = None, devices=None,
     n_shard = len(mesh_shape)
     op: StencilOperator = lvl0.op
     tr: StructuredTransfer = lvl0.transfer
-    sm = lvl0.smoother
+    # the TPU finalization may have swapped in the fused single-kernel
+    # smoother; the sharded cycle spells out the polynomial itself, so use
+    # the plain form the hierarchy stashed
+    sm = getattr(hier, "_unfused_smoother0", None) or lvl0.smoother
     dim = len(op.grid_shape)
     if dim not in (2, 3):
         raise ValueError("SPMD V-cycle supports 2D and 3D grids")

@@ -47,7 +47,14 @@ def load_hierarchy(path: str, problem=None):
 
     with np.load(path, allow_pickle=False) as z:
         meta = pickle.loads(z["__meta__"].tobytes())
-        leaves = [jnp.asarray(z[f"arr_{i}"]) for i in range(len(meta["dtypes"]))]
+        leaves = []
+        for i, dt in enumerate(meta["dtypes"]):
+            a = z[f"arr_{i}"]
+            if a.dtype.kind == "V":
+                # extended dtypes (bfloat16 etc.) round-trip through npz as
+                # raw void bytes; re-view them with the recorded dtype
+                a = a.view(np.dtype(jnp.dtype(dt).name))
+            leaves.append(jnp.asarray(a))
     levels = jax.tree_util.tree_unflatten(meta["treedef"], leaves)
 
     hier = Hierarchy.__new__(Hierarchy)
