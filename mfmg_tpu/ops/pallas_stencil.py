@@ -76,6 +76,135 @@ def pick_tile_bz(grid_shape, offsets, dtype_bytes=4, coeff_bytes=4):
     return None
 
 
+def pick_sym_tiles(grid_shape) -> int:
+    """Smallest z-tile count whose working set (x slab f32 + 2 coeff slabs
+    bf16 + acc) fits the VMEM budget; 1 = whole grid resident per step."""
+    for n_tiles in (1, 2, 3, 4, 6, 8, 12, 16):
+        bz, rows_total, G, F0, FW = tiled_sym_geom(grid_shape, n_tiles)
+        need = (bz + 8) * FW * 4 + 2 * (bz + 8) * FW * 2 + bz * F0 * 4
+        if need < 90 * 1024 * 1024:
+            return n_tiles
+    return 16
+
+
+def tiled_sym_geom(grid_shape, n_tiles=1):
+    """Geometry of the guard-padded z-tiled layout: (bz, rows_total, G, F0,
+    FW).  Lanes: [G zero guard | nf data | pad to F0 | G zero guard]; rows:
+    [1 zero halo | gz data | pad to n_tiles*bz | 1 zero halo].  bz is
+    8-aligned (Mosaic output-block sublane constraint)."""
+    gz, gy, gx = grid_shape
+    nf = gy * gx
+    bz = -(-(-(-gz // n_tiles)) // 8) * 8
+    # slab = bz + 8 rows (halo 1 each side + alignment pad): HBM DMA row
+    # slices must be 8-aligned, so the halo allowance is a full sublane tile
+    rows_total = n_tiles * bz + 8
+    G = 256
+    F0 = -(-nf // 128) * 128
+    FW = G + F0 + G
+    return bz, rows_total, G, F0, FW
+
+
+def pad_planes_tiled_sym(coeffs, offsets, grid_shape, n_tiles=None):
+    """Host-side guard-padded coefficient planes for the z-tiled symmetric
+    kernel (one-shot at operator finalization)."""
+    gz, gy, gx = grid_shape
+    nf = gy * gx
+    if n_tiles is None:
+        n_tiles = pick_sym_tiles(grid_shape)
+    bz, rows_total, G, F0, FW = tiled_sym_geom(grid_shape, n_tiles)
+    c = np.asarray(coeffs).reshape(-1, gz, nf)
+    out = np.zeros((c.shape[0], rows_total, FW), dtype=c.dtype)
+    out[:, 1: 1 + gz, G: G + nf] = c
+    return jnp.asarray(out)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "grid_shape",
+                                             "sym_pos", "n_tiles"))
+def pallas_stencil_apply_tiled_sym(coeffs_tiled, x, offsets, grid_shape,
+                                   sym_pos, n_tiles=None):
+    """Z-tiled SYMMETRIC-pair stencil apply for grids beyond VMEM residency
+    (129^3+): only the center + positive-offset planes stream from HBM
+    ((n_off+1)/2 of the one-sided traffic), and every shifted operand access
+    is an unaligned STATIC SLICE READ of guard-padded VMEM slabs — fused by
+    Mosaic into the FMA with no roll/relayout ops (measured: chained
+    arbitrary lane rolls at F=16896 are the old tiled kernel's 2.8 ms cost
+    cliff; slice reads cost ~nothing).
+
+    For each positive offset o = (dz, dy, dx), s = dy*gx + dx:
+        acc += C_o[z, l]     * x[z + dz, l + s]        (forward)
+        acc += C_o[z - dz, l - s] * x[z - dz, l - s]   (transpose pair)
+    Guard zones hold zeros, so out-of-domain reads vanish; invalid neighbor
+    pairs are killed by zero boundary coefficients exactly as in the
+    resident kernel.  x is re-padded per call in XLA (fuses with the caller's
+    elementwise chain); the coefficient planes are padded once at setup
+    (pad_planes_tiled_sym).
+    """
+    gz, gy, gx = grid_shape
+    nf = gy * gx
+    if n_tiles is None:
+        n_tiles = pick_sym_tiles(grid_shape)
+    bz, rows_total, G, F0, FW = tiled_sym_geom(grid_shape, n_tiles)
+    ctr = offsets.index((0, 0, 0))
+    plane_ids = (ctr,) + tuple(sym_pos)
+    n_planes = len(plane_ids)
+
+    xp = jnp.pad(x.reshape(gz, nf),
+                 ((1, rows_total - 1 - gz), (G, FW - G - nf)))
+
+    def kernel(c_ref, x_ref, out_ref, xs, cbuf, sems):
+        i = pl.program_id(0)
+        cpx = pltpu.make_async_copy(x_ref.at[pl.ds(i * bz, bz + 8)], xs,
+                                    sems.at[2])
+        cpx.start()
+
+        def get_copy(j, slot):
+            return pltpu.make_async_copy(
+                c_ref.at[plane_ids[j]].at[pl.ds(i * bz, bz + 8)],
+                cbuf.at[slot], sems.at[slot])
+
+        get_copy(0, 0).start()
+        if n_planes > 1:
+            get_copy(1, 1).start()
+        cpx.wait()
+        get_copy(0, 0).wait()
+        xv = xs[:]
+        c = cbuf[0].astype(xv.dtype)
+        acc = (c[1: 1 + bz, G: G + F0] * xv[1: 1 + bz, G: G + F0])
+        for j in range(1, n_planes):
+            slot = j % 2
+            if j + 1 < n_planes:
+                get_copy(j + 1, 1 - slot).start()
+            get_copy(j, slot).wait()
+            c = cbuf[slot].astype(xv.dtype)
+            dz, dy, dx = offsets[plane_ids[j]]
+            s = dy * gx + dx
+            acc = acc + (c[1: 1 + bz, G: G + F0]
+                         * xv[1 + dz: 1 + dz + bz, G + s: G + s + F0])
+            acc = acc + (c[1 - dz: 1 - dz + bz, G - s: G - s + F0]
+                         * xv[1 - dz: 1 - dz + bz, G - s: G - s + F0])
+        out_ref[:] = acc
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),     # guarded coeff planes
+            pl.BlockSpec(memory_space=pl.ANY),     # x slabbed manually
+        ],
+        out_specs=pl.BlockSpec((bz, F0), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * bz, F0), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bz + 8, FW), x.dtype),
+            pltpu.VMEM((2, bz + 8, FW), coeffs_tiled.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=(jax.default_backend() == "cpu"),
+    )(coeffs_tiled, xp)
+    return y[:gz, :nf].reshape(-1)
+
+
 @functools.partial(jax.jit, static_argnames=("offsets", "grid_shape", "bz"))
 def pallas_stencil_apply_tiled(coeffs, x, offsets, grid_shape, bz):
     """z-tiled variant for grids whose padded x exceeds VMEM (e.g. 129^3+):

@@ -52,6 +52,9 @@ class StencilOperator:
     # (stencil_to_device): XLA does not hoist a per-apply jnp.pad out of the
     # cycle loop — it measured ~34 us of a 52 us apply at 65^3
     coeffs_padded: object = None
+    # guard-padded planes for the z-tiled symmetric kernel (grids beyond
+    # VMEM residency, e.g. 129^3); see pallas_stencil.tiled_sym_geom
+    coeffs_tiled: object = None
 
     @property
     def shape(self):
@@ -139,6 +142,10 @@ def stencil_apply(op: StencilOperator, x: jax.Array) -> jax.Array:
                                                 pre_padded=pre)
             return pallas_stencil_apply(planes, x, op.offsets, op.grid_shape,
                                         pre_padded=pre)
+        if sym is not None and op.coeffs_tiled is not None:
+            from mfmg_tpu.ops.pallas_stencil import pallas_stencil_apply_tiled_sym
+            return pallas_stencil_apply_tiled_sym(
+                op.coeffs_tiled, x, op.offsets, op.grid_shape, sym)
         if os.environ.get("MFMG_TILED_STENCIL"):
             bz = pick_tile_bz(op.grid_shape, op.offsets, coeff_bytes=cb)
             if bz is not None:
@@ -302,16 +309,21 @@ def stencil_to_device(op: StencilOperator) -> StencilOperator:
         op = StencilOperator(coeffs=jnp.asarray(op.coeffs),
                              offsets=op.offsets, grid_shape=op.grid_shape,
                              sym_pos=op.sym_pos)
-    if (op.coeffs_padded is None and jax.default_backend() == "tpu"
-            and len(op.grid_shape) == 3):
-        from mfmg_tpu.ops.pallas_stencil import fits_vmem, pad_planes
+    if (op.coeffs_padded is None and op.coeffs_tiled is None
+            and jax.default_backend() == "tpu" and len(op.grid_shape) == 3):
+        from mfmg_tpu.ops.pallas_stencil import (fits_vmem, pad_planes,
+                                                 pad_planes_tiled_sym)
+        # pad from the host copy when available: a d2h readback of the
+        # planes costs seconds on tunneled runtimes (4.4 MB/s measured)
+        src = host_coeffs if host_coeffs is not None else op.coeffs
         if fits_vmem(op.grid_shape, op.offsets,
                      coeff_bytes=op.coeffs.dtype.itemsize):
-            # pad from the host copy when available: a d2h readback of the
-            # planes costs seconds on tunneled runtimes (4.4 MB/s measured)
-            src = host_coeffs if host_coeffs is not None else op.coeffs
             op = dataclasses.replace(
                 op, coeffs_padded=pad_planes(src, op.offsets, op.grid_shape))
+        elif op.sym_pos is not None:
+            op = dataclasses.replace(
+                op, coeffs_tiled=pad_planes_tiled_sym(src, op.offsets,
+                                                      op.grid_shape))
     return op
 
 
