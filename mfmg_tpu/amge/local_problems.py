@@ -103,8 +103,8 @@ def _try_build_structured(mesh: Mesh, A_loc: np.ndarray, agg_ids: np.ndarray,
                           batch_dtype=np.float64, agg_range=None,
                           assemble_operator: bool = True):
     """Vectorized batch build for uniform blocks on a structured grid."""
-    if not mesh.is_structured:
-        return None
+    if not mesh.is_structured or mesh.dof_renumbered:
+        return None              # renumbered dofs: closed-form ids invalid
     n_agg = int(agg_ids.max()) + 1
     counts = np.bincount(agg_ids, minlength=n_agg)
     if counts.min() != counts.max():

@@ -103,17 +103,41 @@ def main(argv=None):
     distort = str(laplace.get("distort_random", "false")).lower() == "true"
     fe_degree = args.fe_degree or int(laplace.get("fe_degree", 1))
 
+    reordering = str(laplace.get("reordering", "None"))
+
     timer = TimerOutput()
     with timer.section("Setup: problem"):
         if mesh_kind == "hyper_ball":
             from mfmg_tpu.fem.mesh import hyper_ball
-            prob = LaplaceProblem.from_mesh(
-                hyper_ball(args.dim, n_ref, degree=fe_degree,
-                           distort_random=distort), material)
+            mesh = hyper_ball(args.dim, n_ref, degree=fe_degree,
+                              distort_random=distort)
         else:
-            prob = LaplaceProblem.hyper_cube(
-                args.dim, n_ref, degree=fe_degree, material_property=material,
-                distort_random=distort)
+            from mfmg_tpu.fem.mesh import hyper_cube
+            mesh = hyper_cube(args.dim, n_ref, degree=fe_degree,
+                              distort_random=distort)
+        # DoF renumbering (laplace.hpp:115-122): RCM supported; the boost
+        # orderings have no scipy analog — warn LOUDLY rather than silently
+        # ignoring (the reference's goldens are reordering-invariant,
+        # test_hierarchy.cc:282-307)
+        rlow = reordering.strip().lower().replace("-", "_").replace(" ", "_")
+        if rlow not in ("none", ""):
+            from mfmg_tpu.fem.mesh import renumber_dofs
+            try:
+                mesh = renumber_dofs(mesh, reordering)
+                if cfg.operator in ("stencil", "matrix_free", "sumfac"):
+                    import warnings
+                    warnings.warn(
+                        f"laplace.reordering={reordering!r}: renumbered dofs "
+                        "are not lexicographic; switching operator to 'ell'")
+                    cfg.operator = "ell"
+            except ValueError:
+                import warnings
+                warnings.warn(
+                    f"laplace.reordering={reordering!r} is not supported "
+                    "(only Reverse Cuthill_McKee); proceeding with the "
+                    "natural numbering — the reference's golden rates are "
+                    "reordering-invariant (test_hierarchy.cc:282-307)")
+        prob = LaplaceProblem.from_mesh(mesh, material)
     with timer.section("Setup: hierarchy"):
         if args.load_hierarchy:
             hier = Hierarchy.load(args.load_hierarchy, prob)

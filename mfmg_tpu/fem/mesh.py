@@ -31,6 +31,11 @@ class Mesh:
     # Hanging-node constraints for 1-irregular adaptive meshes (Q1 only);
     # None on conforming meshes.  See fem/adaptive.py.
     hanging: "HangingConstraints | None" = None
+    # True after renumber_dofs: node ids are no longer lexicographic, so the
+    # closed-form structured DOF paths (stencil extraction, vectorized batch
+    # assembly, structured transfers) must not be used; cell-geometric
+    # machinery (agglomeration) is unaffected
+    dof_renumbered: bool = False
 
     @property
     def n_nodes(self) -> int:
@@ -254,3 +259,40 @@ def structured_cube(dim: int, cells_per_dim: tuple, degree: int = 1,
     return Mesh(dim=dim, degree=degree, nodes=nodes,
                 cells=cells.astype(np.int32), boundary_dofs=boundary,
                 structured_shape=nc)
+
+
+def renumber_dofs(mesh: Mesh, method: str) -> Mesh:
+    """Global DoF renumbering (analog of dealii::DoFRenumbering, consumed by
+    the reference's test driver via laplace.reordering,
+    reference tests/laplace.hpp:115-122).
+
+    Supported: "reverse cuthill_mckee" / "reverse cuthill-mckee" (scipy
+    csgraph RCM on the node-connectivity graph — deal.II's
+    Cuthill_McKee(reversed_numbering=true)).  "none" returns the mesh
+    unchanged.  The reference's boost King / reverse minimum degree /
+    hierarchical orderings have no scipy analog; callers warn and fall back
+    (the reference's own golden table shows the convergence rates are
+    IDENTICAL across reorderings, test_hierarchy.cc:282-307 — numbering
+    invariance is the observable property).
+    """
+    m = method.strip().lower().replace("-", "_").replace(" ", "_")
+    if m in ("none", ""):
+        return mesh
+    if m not in ("reverse_cuthill_mckee", "reverse_cuthill_mckee_true", "rcm"):
+        raise ValueError(f"unsupported reordering {method!r}")
+    if mesh.hanging is not None:
+        raise ValueError("renumbering of hanging-node meshes not supported")
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    n = mesh.n_nodes
+    c = mesh.cells
+    rows = np.repeat(c, c.shape[1], axis=1).reshape(-1)
+    cols = np.tile(c, (1, c.shape[1])).reshape(-1)
+    A = sp.csr_matrix((np.ones(len(rows), np.int8), (rows, cols)), shape=(n, n))
+    p = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+    q = np.empty(n, dtype=np.int64)
+    q[p] = np.arange(n)
+    return dataclasses.replace(
+        mesh, nodes=mesh.nodes[p], cells=q[mesh.cells].astype(mesh.cells.dtype),
+        boundary_dofs=mesh.boundary_dofs[p], dof_renumbered=True)

@@ -256,8 +256,10 @@ def stencil_from_cell_matrices(mesh: Mesh, A_loc: np.ndarray,
             "stencil operators on hanging-node meshes are not supported "
             "yet; use the assembled path (Config.operator='ell') which "
             "condenses the constraints")
-    if not mesh.is_structured:
-        raise ValueError("stencil operator requires a structured mesh")
+    if not mesh.is_structured or mesh.dof_renumbered:
+        raise ValueError("stencil operator requires a structured mesh with "
+                         "lexicographic dof numbering (use operator='ell' "
+                         "after renumber_dofs)")
     k = mesh.degree
     offsets, oid_ab, grid_shape, n_nodes = stencil_layout(mesh)
 
