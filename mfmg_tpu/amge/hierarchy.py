@@ -288,8 +288,32 @@ class Hierarchy:
                     self._level0_blocks = None
                     self._level0_blocks_slab = blocks_slab
                 else:
-                    blocks = agg_galerkin_blocks(batch, dof_rows, dof_vals,
-                                                 R.shape[0], eliminate=False)
+                    blocks = None
+                    import os as _os
+                    if (getattr(self, "_device_A", None) is not None
+                            and _os.environ.get("MFMG_DEVICE_GALERKIN")):
+                        # K = Rb A Rb^T on the MXU against the still-resident
+                        # device batch (eigen/device_eig.py).  OPT-IN: on the
+                        # tunneled runtime the Rb upload (884 MB) + K readback
+                        # (f64 764 MB) move at ~37 MB/s and cost ~45 s — more
+                        # than the host BLAS they replace; on directly
+                        # attached hardware (PCIe/ICI-class transfers) this
+                        # path wins.
+                        from mfmg_tpu.eigen import device_eig
+                        blocks = device_eig.device_galerkin_blocks(
+                            batch, self._device_A, dof_rows, dof_vals,
+                            R.shape[0])
+                    self._device_A = None                # free the 2 GB
+                    if blocks is None:
+                        if batch.A_agg is None:          # device path failed
+                            batch = build_agglomerate_batch(
+                                problem.mesh, problem.A_loc,
+                                self._level0_agg_ids,
+                                batch_dtype=(np.float64 if self.dtype ==
+                                             jnp.float64 else np.float32))
+                        blocks = agg_galerkin_blocks(batch, dof_rows, dof_vals,
+                                                     R.shape[0],
+                                                     eliminate=False)
                     A_coarse = galerkin_product_from_blocks(blocks, R.shape[0])
                     self._level0_blocks = blocks
             else:
@@ -428,11 +452,33 @@ class Hierarchy:
                 self._dist_slab = (batch_slab, agg_sels)
                 self._dist_super = s_range
             else:
-                batch = build_agglomerate_batch(problem.mesh, problem.A_loc,
-                                                agg_ids,
-                                                batch_dtype=batch_dtype)
+                evals = evecs = None
+                batch = None
+                self._device_A = None
+                if self._use_device_eig():
+                    # the MXU does the eigensolve + keeps the assembled batch
+                    # on device for the Galerkin blocks (eigen/device_eig.py)
+                    # — the 2 GB dense host batch is never assembled
+                    from mfmg_tpu.eigen import device_eig
+                    light = build_agglomerate_batch(
+                        problem.mesh, problem.A_loc, agg_ids,
+                        batch_dtype=batch_dtype, assemble_operator=False)
+                    if device_eig.supports(problem.mesh, light):
+                        try:
+                            out = device_eig.device_smallest_eigenpairs(
+                                problem, agg_ids, light,
+                                cfg.eigensolver.n_eigenvectors, keep_A=True)
+                            if out is not None:
+                                evals, evecs, self._device_A = out
+                                batch = light
+                        except Exception:
+                            evals = evecs = None     # host fallback
+                if evals is None:
+                    batch = build_agglomerate_batch(
+                        problem.mesh, problem.A_loc, agg_ids,
+                        batch_dtype=batch_dtype)
+                    evals, evecs = self._eigensolve(batch)
                 check_restriction(batch, problem.diag_raw, problem.n_dofs)
-                evals, evecs = self._eigensolve(batch)
             self._level0_agg_ids = agg_ids
             self._level0_eigendata = (batch, evals, evecs)
             R = build_restriction(batch, evecs, problem.diag_raw, problem.n_dofs)
@@ -464,10 +510,12 @@ class Hierarchy:
                     self._dist_super))
         else:
             prev_batch = self._level0_eigendata[0] if level == 1 else None
-            if prev_batch is not None and prev_batch.A_agg is None:
-                prev_batch = None        # distributed setup: light batch only
             prev_blocks = (getattr(self, "_level0_blocks", None)
                            if level == 1 else None)
+            if (prev_batch is not None and prev_batch.A_agg is None
+                    and prev_blocks is None):
+                prev_batch = None        # light batch without blocks: the
+                                         # per-super path needs the dense ops
             R_l, cell_super, super_grid = build_recursive_restriction(
                 problem.mesh, problem.A_loc, self._cell_agg, self._R_composed,
                 self._A_per_level[level], problem.constrained,
@@ -477,6 +525,17 @@ class Hierarchy:
         self._R_composed = (R_l @ self._R_composed).tocsr()
         self._super_grid_xyz = super_grid
         return R_l
+
+    def _use_device_eig(self) -> bool:
+        """Device (MXU) batched eigensolve for the level-0 'lapack' path:
+        on by default on TPU backends (backend='auto'); disable with
+        backend='host' or MFMG_NO_DEVICE_EIG=1."""
+        import os
+        if os.environ.get("MFMG_NO_DEVICE_EIG"):
+            return False
+        e = self.config.eigensolver
+        return (e.type == "lapack" and e.backend in ("auto", "device")
+                and self._constrained_mode() == "pin")
 
     def _distributed(self) -> bool:
         """Distributed setup is active: configured AND >1 jax process."""
