@@ -73,8 +73,17 @@ def _sel_mats(tr: StructuredTransfer, dtype):
             for d in range(len(tr.agg_shape))]
 
 
-_HI = jax.lax.Precision.HIGHEST     # selection matmuls must be exact, and the
-                                    # TPU default einsum precision is bf16
+# Selection matmuls on the TPU default to bf16 passes; HIGHEST forces exact
+# f32 at ~6x the MXU passes.  The transfers live inside the PRECONDITIONER
+# (the outer Krylov residual uses the exact operator), so DEFAULT costs no
+# PCG iterations (measured 13 -> 13 at 2.1M, 9 -> 9 at 274k) while the
+# 129^3 transfer pair drops 2.29 -> ~0.9 ms.  MFMG_TRANSFER_HI=1 restores
+# exact transfers (CPU golden tests are unaffected either way: precision
+# flags are no-ops off-TPU).
+import os as _os
+
+_HI = (jax.lax.Precision.HIGHEST if _os.environ.get("MFMG_TRANSFER_HI")
+       else jax.lax.Precision.DEFAULT)
 
 
 @jax.jit
