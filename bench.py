@@ -47,6 +47,29 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def bench_cache_key(cfg, root=None) -> str:
+    """Invalidation key for the on-disk large-bench hierarchy cache: a hash
+    of every mfmg_tpu source file (content, sorted paths) + the dataclass
+    repr of the Config.  Pure content hash — works in dirty git trees too."""
+    import hashlib
+    import os
+
+    if root is None:
+        root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "mfmg_tpu")
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith((".py", ".cpp", ".so")):
+                p = os.path.join(dirpath, fn)
+                h.update(p.encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+    h.update(repr(cfg).encode())
+    return h.hexdigest()[:16]
+
+
 def _measure_large(cycles_fn_template=None):
     """2.15M-dof block (bench_large.py config) folded into the driver bench:
     129^3 stencil fine level, 3-level AMGe, bf16 coefficient planes.  Runs
@@ -63,24 +86,47 @@ def _measure_large(cycles_fn_template=None):
     from mfmg_tpu.config import (AgglomerationConfig, CoarseConfig,
                                  SmootherConfig)
 
+    from mfmg_tpu.config import EigensolverConfig
+
     t0 = time.perf_counter()
     prob = LaplaceProblem.hyper_cube(3, 7, material_property="linear")
+    # SAME configuration as the 274k flagship (incl. deep=4 coarse-space
+    # enrichment — round-4 verdict item #6): the large block measures the
+    # framework's best configuration, and PCG counts are comparable across
+    # sizes.
     cfg = Config(max_levels=3, operator="stencil", dtype="float32",
                  coeff_dtype="bfloat16",
+                 eigensolver=EigensolverConfig(n_eigenvectors=2,
+                                               n_eigenvectors_deep=4),
                  smoother=SmootherConfig(type="chebyshev", degree=2),
                  agglomeration=AgglomerationConfig(nx=4, ny=4, nz=4),
                  coarse=CoarseConfig(type="direct"))
     # hierarchy cache (VERDICT r3 item #8): the first run saves the built
     # hierarchy; later runs (incl. the driver's end-of-round bench) load it
     # and skip the setup.  setup_s always reports the FRESH build time (from
-    # the sidecar on cache hits) — it is itself a tracked metric.
+    # the sidecar on cache hits) — it is itself a tracked metric.  The cache
+    # is KEYED on a hash of the mfmg_tpu source tree + the serialized config
+    # (round-4 verdict item #5): any setup-affecting commit invalidates it,
+    # so the driver-captured BENCH can never run on a stale hierarchy or
+    # report a stale setup_s.
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_large_hier.npz")
     sidecar = cache + ".meta.json"
+    key = bench_cache_key(cfg)
+    cached = None
     if os.path.exists(cache) and os.path.exists(sidecar):
-        hier = Hierarchy.load(cache, prob)
         with open(sidecar) as f:
-            setup_s = json.load(f)["fresh_setup_s"]
+            meta = json.load(f)
+        if meta.get("key") == key:
+            try:
+                cached = Hierarchy.load(cache, prob)
+                setup_s = meta["fresh_setup_s"]
+            except Exception as e:
+                log(f"large cache load failed (rebuilding): {e!r}")
+        else:
+            log("large cache stale (source/config changed) — rebuilding")
+    if cached is not None:
+        hier = cached
         log(f"large: loaded cached hierarchy ({time.perf_counter()-t0:.1f}s "
             f"incl. problem build; fresh setup was {setup_s:.1f}s)")
     else:
@@ -90,7 +136,7 @@ def _measure_large(cycles_fn_template=None):
         try:
             hier.save(cache)
             with open(sidecar, "w") as f:
-                json.dump({"fresh_setup_s": setup_s}, f)
+                json.dump({"fresh_setup_s": setup_s, "key": key}, f)
         except Exception as e:
             log(f"large cache save failed: {e!r}")
         log(f"large setup: n_dofs={prob.n_dofs} t={setup_s:.1f}s")
@@ -121,22 +167,56 @@ def _measure_large(cycles_fn_template=None):
         assert np.isfinite(float(jnp.vdot(out, out)))
         return time.perf_counter() - t1
 
+    def _two_point(tfun, n_lo, n_hi):
+        tfun(n_lo), tfun(n_hi)
+        slopes = []
+        for _ in range(6):
+            tl, th = tfun(n_lo), tfun(n_hi)
+            if 0 < tl < th:
+                slopes.append((th - tl) / (n_hi - n_lo))
+            if len(slopes) >= 3:
+                break
+        return float(np.median(slopes))
+
     N_LO, N_HI = 10, 60                 # ~5 ms cycle: 300 ms >> jitter
-    timed(N_LO), timed(N_HI)
-    slopes = []
-    for _ in range(6):
-        tl, th = timed(N_LO), timed(N_HI)
-        if 0 < tl < th:
-            slopes.append((th - tl) / (N_HI - N_LO))
-        if len(slopes) >= 3:
-            break
-    dt = float(np.median(slopes))
+    dt = _two_point(timed, N_LO, N_HI)
     xs, info = hier.solve_cg(b, tol=1e-5, maxiter=50)
     log(f"large: {dt*1e3:.2f} ms/cycle -> {prob.n_dofs/dt:.3e} DoF/s, "
         f"pcg {int(info['iterations'])}")
+
+    # same-session A/B vs the ROUND-4 2.1M path (unfused 129^3 smoother +
+    # generic L1 recursion — no fused tail existed there): immune to the
+    # documented cross-session clock drift of the tunneled chip.
+    ab_prev = None
+    try:
+        import dataclasses as _dc
+        l0 = hier.levels[0]
+        sm_prev = getattr(hier, "_unfused_smoother0", None)
+        if sm_prev is None and hasattr(l0.smoother, "to_plain"):
+            sm_prev = l0.smoother.to_plain()    # cache-loaded hierarchies
+        if l0.fused is not None and sm_prev is not None:
+            levels_prev = (_dc.replace(l0, fused=None, smoother=sm_prev),
+                           ) + levels[1:]
+
+            def timed_prev(n):
+                v = _fresh()
+                t1 = time.perf_counter()
+                out = cycles(levels_prev, b, v, n)
+                assert np.isfinite(float(jnp.vdot(out, out)))
+                return time.perf_counter() - t1
+
+            dt_prev = _two_point(timed_prev, N_LO, N_HI)
+            ab_prev = {"ms_per_vcycle_unfused": dt_prev * 1e3,
+                       "speedup_vs_unfused": dt_prev / dt}
+            log(f"large ab_vs_prev: unfused {dt_prev*1e3:.2f} ms/cycle -> "
+                f"{dt_prev/dt:.2f}x same-session speedup")
+    except Exception as e:
+        log(f"large ab_vs_prev failed: {e!r}")
+
     return {"n_dofs": prob.n_dofs, "ms_per_vcycle": dt * 1e3,
             "dof_per_s": prob.n_dofs / dt, "setup_s": setup_s,
-            "pcg_iterations": int(info["iterations"])}
+            "pcg_iterations": int(info["iterations"]),
+            "ab_vs_prev": ab_prev}
 
 
 def main():

@@ -164,10 +164,23 @@ def main(argv=None):
         else:
             prob = LaplaceProblem.hyper_cube(3, args.n_ref,
                                              material_property="linear")
-        cfg = Config(operator="stencil", dtype="float32",
-                     smoother=SmootherConfig(type="chebyshev", degree=2),
-                     agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2),
-                     coarse=CoarseConfig(type="direct"))
+        if args.n_ref >= 5:
+            # big local slabs (>= 33^3): the flagship 3-level config — the
+            # 2-level agg-2^3 config's dense direct coarse would be 65536^2
+            # (34 GB) at 65^3 local; this is also the configuration whose
+            # scaling actually matters in production
+            from mfmg_tpu.config import EigensolverConfig
+            cfg = Config(operator="stencil", dtype="float32", max_levels=3,
+                         eigensolver=EigensolverConfig(
+                             n_eigenvectors=2, n_eigenvectors_deep=4),
+                         smoother=SmootherConfig(type="chebyshev", degree=2),
+                         agglomeration=AgglomerationConfig(nx=4, ny=4, nz=4),
+                         coarse=CoarseConfig(type="direct"))
+        else:
+            cfg = Config(operator="stencil", dtype="float32",
+                         smoother=SmootherConfig(type="chebyshev", degree=2),
+                         agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2),
+                         coarse=CoarseConfig(type="direct"))
         hier = Hierarchy(prob, cfg)
         mesh_shape = ((P // 2, 2) if args.mesh_2d and P >= 4 else None)
         sv = build_spmd_vcycle(hier, n_devices=P, mesh_shape=mesh_shape)

@@ -89,11 +89,19 @@ def _cycle(levels, b, x, level, n_smoothing_steps, cycle_type):
         # negative residual: res = A x - b (hierarchy.hpp:282-286)
         res = apply_op(lvl.op, x) - b
     if (level == 0 and lvl.fused is not None and cycle_type == "v"
-            and n_smoothing_steps == lvl.fused.nss):
+            and n_smoothing_steps == lvl.fused.nss
+            and lvl.fused.fine_grid is not None):
         # whole coarse tail (restrict, level>=1 cycle, prolong, correction)
         # in one Pallas kernel launch (ops/fused_cycle.py)
         from mfmg_tpu.ops.fused_cycle import fused_correction_apply
         x = fused_correction_apply(lvl.fused, x, res)
+    elif (level == 0 and lvl.fused is not None and cycle_type == "v"
+          and n_smoothing_steps == lvl.fused.nss):
+        # fine grid beyond VMEM residency: XLA windowed transfer around the
+        # single-kernel L1 sub-cycle (windowed L1<->L2 inside the kernel)
+        from mfmg_tpu.ops.fused_cycle import fused_subcycle_apply
+        b_coarse = _restrict(lvl, res)
+        x = x - _prolong(lvl, fused_subcycle_apply(lvl.fused, b_coarse))
     else:
         b_coarse = _restrict(lvl, res)
         x_coarse = jnp.zeros_like(b_coarse)
@@ -409,7 +417,11 @@ class Hierarchy:
         from mfmg_tpu.ops.fused_cycle import build_fused_tail
         fs = build_fused_tail(self.levels,
                               self.config.smoother.n_smoothing_steps)
-        if fs is not None and fs.fine_grid is not None:
+        if fs is not None:
+            # fine_grid set: the WHOLE tail (restrict..prolong) is one
+            # kernel; fine_grid None (129^3+ fine levels beyond VMEM
+            # residency): the L1 sub-cycle alone is one kernel and the fine
+            # transfer stays on the XLA selection-matmul path (_cycle)
             self.levels[0] = dataclasses.replace(self.levels[0], fused=fs)
 
     def _build_restrictor(self, level: int) -> sp.csr_matrix:
@@ -463,7 +475,7 @@ class Hierarchy:
                     light = build_agglomerate_batch(
                         problem.mesh, problem.A_loc, agg_ids,
                         batch_dtype=batch_dtype, assemble_operator=False)
-                    if device_eig.supports(problem.mesh, light):
+                    if device_eig.supports(problem.mesh, light, agg_ids):
                         try:
                             out = device_eig.device_smallest_eigenpairs(
                                 problem, agg_ids, light,

@@ -134,9 +134,9 @@ def main(argv=None):
                 import warnings
                 warnings.warn(
                     f"laplace.reordering={reordering!r} is not supported "
-                    "(only Reverse Cuthill_McKee); proceeding with the "
-                    "natural numbering — the reference's golden rates are "
-                    "reordering-invariant (test_hierarchy.cc:282-307)")
+                    "(only Reverse Cuthill_McKee and King); proceeding with "
+                    "the natural numbering — the reference's golden rates "
+                    "are reordering-invariant (test_hierarchy.cc:282-307)")
         prob = LaplaceProblem.from_mesh(mesh, material)
     with timer.section("Setup: hierarchy"):
         if args.load_hierarchy:

@@ -47,12 +47,15 @@ def batched_arpack_smallest(batch, eig_cfg, constrained_mode: str = "pin"):
         # dense subset eigh — used when the agglomerate is too small for the
         # Arnoldi basis (scipy needs n_ev < ncv <= sz) or when sigma=0
         # shift-invert hits a singular local operator (interior Neumann
-        # agglomerates under constrained_mode='raw'/'identity')
+        # agglomerates under constrained_mode='raw'/'identity').  An
+        # agglomerate with fewer dofs than n_ev yields only sz eigenpairs;
+        # the remainder stay zero-padded (matching the batched arrays).
         import scipy.linalg as sla
-        w, v = sla.eigh(Mg, subset_by_index=[0, n_ev - 1], driver="evr",
+        ne = min(n_ev, sz)
+        w, v = sla.eigh(Mg, subset_by_index=[0, ne - 1], driver="evr",
                         check_finite=False)
-        evals[g] = w[:n_ev] - shifts[g]
-        evecs[g, :sz] = v[:, :n_ev]
+        evals[g, :ne] = w[:ne] - shifts[g]
+        evecs[g, :sz, :ne] = v[:, :ne]
 
     def _solve_range(lo, hi):
         for g in range(lo, hi):

@@ -43,15 +43,34 @@ _N_PROBE = 8       # oversampled subspace columns
 _N_ITER = 8        # inverse-iteration steps (each amplifies by ~lam_k/eps)
 
 
-def supports(mesh, batch) -> bool:
+def supports(mesh, batch, agg_ids=None) -> bool:
     """Device path preconditions: TPU backend, translation-invariant
-    structured mesh, uniform blocks (no padding), factorized cell matrices."""
+    structured mesh, uniform blocks (no padding), factorized cell matrices,
+    and — when agg_ids is given — the agglomeration IS the closed-form block
+    partition (_structured_layout infers block dims from agglomerate 0's
+    extent; a uniform-size NON-block partition, e.g. metis/zoltan on a
+    structured mesh, could otherwise slip through on a shape coincidence and
+    produce a silently wrong coarse space — advisor finding, round 4)."""
     import jax
     if jax.default_backend() != "tpu":
         return False
     if not mesh.is_structured or mesh.dof_renumbered or mesh.hanging is not None:
         return False
-    return bool(np.all(batch.valid))
+    if not bool(np.all(batch.valid)):
+        return False
+    if agg_ids is not None:
+        nc = np.asarray(mesh.structured_shape)
+        mi = mesh.cell_multi_index()
+        sel = agg_ids == agg_ids[0]
+        bdims = mi[sel].max(axis=0) - mi[sel].min(axis=0) + 1
+        if np.any(nc % bdims):
+            return False
+        n_agg_dim = nc // bdims
+        stride = np.cumprod(np.concatenate([[1], n_agg_dim[:-1]]))
+        expected = (mi // bdims) @ stride
+        if not np.array_equal(expected, agg_ids):
+            return False
+    return True
 
 
 def _structured_layout(mesh, agg_ids):
@@ -181,6 +200,12 @@ def device_smallest_eigenpairs(problem, agg_ids, batch, n_ev: int,
     # (shifted eigensolve, then subtract the shift)
     evals = np.asarray(evals_d, dtype=np.float64)
     evecs = np.asarray(evecs_d, dtype=np.float64)
+    # the f32 fixed-step inverse iteration has no in-loop residual check and
+    # CAN produce NaN (observed for too-small eps); a non-finite result must
+    # surface as "no device result" so the caller's host fallback fires
+    # instead of silently building a garbage coarse space
+    if not (np.isfinite(evals).all() and np.isfinite(evecs).all()):
+        return None
     evecs *= (batch.valid & ~batch.constrained)[:, :, None]
     if keep_A:
         return evals, evecs, A_dev

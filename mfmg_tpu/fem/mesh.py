@@ -268,31 +268,83 @@ def renumber_dofs(mesh: Mesh, method: str) -> Mesh:
 
     Supported: "reverse cuthill_mckee" / "reverse cuthill-mckee" (scipy
     csgraph RCM on the node-connectivity graph — deal.II's
-    Cuthill_McKee(reversed_numbering=true)).  "none" returns the mesh
-    unchanged.  The reference's boost King / reverse minimum degree /
-    hierarchical orderings have no scipy analog; callers warn and fall back
-    (the reference's own golden table shows the convergence rates are
-    IDENTICAL across reorderings, test_hierarchy.cc:282-307 — numbering
-    invariance is the observable property).
+    Cuthill_McKee(reversed_numbering=true)) and "king" (greedy wavefront-
+    minimizing King ordering, the algorithm behind
+    DoFRenumbering::boost::king_ordering; vertex visitation tie-breaks
+    differ from boost's BGL internals, which is immaterial because the
+    reference's golden table is numbering-INVARIANT,
+    test_hierarchy.cc:282-307).  "none" returns the mesh unchanged.  The
+    remaining boost orderings (reverse minimum degree, hierarchical) have no
+    analog here; callers warn and fall back.
     """
     m = method.strip().lower().replace("-", "_").replace(" ", "_")
     if m in ("none", ""):
         return mesh
-    if m not in ("reverse_cuthill_mckee", "reverse_cuthill_mckee_true", "rcm"):
+    if m not in ("reverse_cuthill_mckee", "reverse_cuthill_mckee_true", "rcm",
+                 "king"):
         raise ValueError(f"unsupported reordering {method!r}")
     if mesh.hanging is not None:
         raise ValueError("renumbering of hanging-node meshes not supported")
     import scipy.sparse as sp
-    from scipy.sparse.csgraph import reverse_cuthill_mckee
 
     n = mesh.n_nodes
     c = mesh.cells
     rows = np.repeat(c, c.shape[1], axis=1).reshape(-1)
     cols = np.tile(c, (1, c.shape[1])).reshape(-1)
     A = sp.csr_matrix((np.ones(len(rows), np.int8), (rows, cols)), shape=(n, n))
-    p = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+    if m == "king":
+        p = _king_ordering(A)
+    else:
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+        p = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
     q = np.empty(n, dtype=np.int64)
     q[p] = np.arange(n)
     return dataclasses.replace(
         mesh, nodes=mesh.nodes[p], cells=q[mesh.cells].astype(mesh.cells.dtype),
         boundary_dofs=mesh.boundary_dofs[p], dof_renumbered=True)
+
+
+def _king_ordering(A) -> np.ndarray:
+    """King ordering of a symmetric sparsity graph: breadth-first numbering
+    that at each step picks the frontier vertex introducing the FEWEST new
+    wavefront vertices (ties broken by discovery order, then degree).  This
+    is the wavefront-minimizing criterion of King (1970), the algorithm
+    boost::king_ordering implements; O(n * front * deg) host loop — setup-
+    time only, used on the reference's small reordering-sweep meshes."""
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    n = A.shape[0]
+    indptr, indices = A.indptr, A.indices
+    deg = np.diff(indptr)
+    order = np.empty(n, dtype=np.int64)
+    numbered = np.zeros(n, dtype=bool)
+    in_front = np.zeros(n, dtype=bool)
+    discovery = np.full(n, n, dtype=np.int64)
+    front: list[int] = []
+    k = 0
+    while k < n:
+        if not front:
+            rest = np.nonzero(~numbered)[0]
+            start = rest[np.argmin(deg[rest])]      # min-degree seed
+            front = [int(start)]
+            in_front[start] = True
+            discovery[start] = k
+        best, best_cost = None, None
+        for v in front:
+            nb = indices[indptr[v]: indptr[v + 1]]
+            cost = int(np.count_nonzero(~numbered[nb] & ~in_front[nb]))
+            key = (cost, discovery[v], deg[v])
+            if best is None or key < best_cost:
+                best, best_cost = v, key
+        order[k] = best
+        numbered[best] = True
+        in_front[best] = False
+        front.remove(best)
+        nb = indices[indptr[best]: indptr[best + 1]]
+        for w in nb[~numbered[nb] & ~in_front[nb]]:
+            in_front[w] = True
+            discovery[w] = k
+            front.append(int(w))
+        k += 1
+    return order

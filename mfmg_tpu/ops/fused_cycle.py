@@ -72,10 +72,14 @@ def _cheb_coeffs(theta: float, delta: float, degree: int):
 # the hierarchy's own stencil coefficients already stream as bf16, so bf16
 # transfer passes cost no PCG iterations (measured 9 -> 9 at 274k) while
 # HIGHEST-precision f32 emulation costs ~3-6 MXU passes per matmul.
+# Read at TRACE time (not import), so programmatic env setting before the
+# first apply works; compiled executables keep their traced precision.
 import os as _os
 
-_CHAIN_PREC = (_HI if _os.environ.get("MFMG_FUSED_HI")
-               else jax.lax.Precision.DEFAULT)
+
+def _chain_prec():
+    return (_HI if _os.environ.get("MFMG_FUSED_HI")
+            else jax.lax.Precision.DEFAULT)
 
 
 def _mm(a, m, out_dtype):
@@ -83,14 +87,14 @@ def _mm(a, m, out_dtype):
     on leading-merged operands — measured ~30% faster in-kernel than 3-D
     dot_general, which Mosaic lowers as many small batched products)."""
     return jax.lax.dot_general(a, m, (((1,), (0,)), ((), ())),
-                               precision=_CHAIN_PREC,
+                               precision=_chain_prec(),
                                preferred_element_type=out_dtype)
 
 
 def _mmT(a, m, out_dtype):
     """a @ m.T without materializing the transpose: contract dim1 x dim1."""
     return jax.lax.dot_general(a, m, (((1,), (1,)), ((), ())),
-                               precision=_CHAIN_PREC,
+                               precision=_chain_prec(),
                                preferred_element_type=out_dtype)
 
 
@@ -109,8 +113,9 @@ class FusedTail:
     # level-1 sub-cycle operands
     Kp: jax.Array            # (n_off, c, c, gx, gz*gy) stencil planes
     invd: jax.Array          # (c, gx, gz*gy) inverse diagonal
-    Rdp: jax.Array           # (n2, c*gx, gz*gy) dense transfer, comp-major
-    inv2: jax.Array          # (n2, n2) coarse pseudoinverse
+    # dense L1<->L2 transfer form (small coarse transfers)
+    Rdp: jax.Array | None    # (n2, c*gx, gz*gy) dense transfer, comp-major
+    inv2: jax.Array | None   # (n2, n2) coarse pseudoinverse
     # fine-level windowed transfer operands (None => sub-cycle only)
     Wt: jax.Array | None     # (n_ev, gz*wz, gy*wy, gx*wx) weights [e,zi,yi,xi]
     Sz: jax.Array | None     # (nz, gz*wz) selection, contract-from-fine side
@@ -119,28 +124,133 @@ class FusedTail:
     Mz: jax.Array | None     # (gz*wz, gz) block-sum
     My: jax.Array | None
     Mx: jax.Array | None
-    shifts: tuple = dataclasses.field(metadata=dict(static=True))
-    grid: tuple = dataclasses.field(metadata=dict(static=True))   # (gz, gy, gx)
-    n_comp: int = dataclasses.field(metadata=dict(static=True))
-    alphas: tuple = dataclasses.field(metadata=dict(static=True))
-    betas: tuple = dataclasses.field(metadata=dict(static=True))
+    # (2*degree,) [alphas..., betas...] — RUNTIME data so the compiled
+    # kernels survive setup-to-setup theta/delta changes (the L1 Chebyshev
+    # interval is a Lanczos estimate; static coefficients would recompile
+    # the multi-minute 129^3-class Mosaic kernels on every fresh setup)
+    cheb_coef: jax.Array = None
+    shifts: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    grid: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    n_comp: int = dataclasses.field(metadata=dict(static=True), default=1)
+    deg: int = dataclasses.field(metadata=dict(static=True), default=1)
     fine_grid: tuple = dataclasses.field(metadata=dict(static=True),
                                          default=None)            # (nz, ny, nx)
     nss: int = dataclasses.field(metadata=dict(static=True), default=1)
+    # WINDOWED L1->L2 transfer form (when the dense Rd exceeds VMEM — e.g.
+    # 129^3-fine hierarchies whose L1 has 65k dofs): the same selection-
+    # matmul + block-sum machinery as the fine-level chain, with a component
+    # dimension, entirely in Mosaic-legal 2-D matmuls.  See
+    # _windowed_correct for the index walk.
+    Sx2: jax.Array | None = None    # (X2, gx) x-axis window selection
+    Szy: jax.Array | None = None    # (ZY2, gz*gy) merged (z,y) selection (kron)
+    Wt2: jax.Array | None = None    # (n2e, c, X2, ZY2) transfer weights
+    Mx2: jax.Array | None = None    # (X2, ox) x block-sum
+    Mzy: jax.Array | None = None    # (ZY2, oz*oy) merged block-sum (kron)
+    inv2p: jax.Array | None = None  # (n2, n2) coarse inverse, kernel order
+    S_R: jax.Array | None = None    # (n2e*ox, n2) vec/un-vec row selector
+    S_C: jax.Array | None = None    # (n2, oz*oy) vec/un-vec lane selector
 
     @property
     def degree(self):
-        return len(self.alphas)
+        return self.deg
 
 
 # --------------------------------------------------------------- sub-cycle --
 
-def _subcycle_math(fs: FusedTail, b1, Kp, invd, Rdp, inv2):
-    """The level>=1 V-cycle tail on (c, gx, gz*gy) planes — pure value math,
-    shared by the standalone and the full-tail kernels."""
+def _mTm(a, m, out_dtype):
+    """a.T @ m without materializing the transpose: contract dim0 x dim0."""
+    return jax.lax.dot_general(a, m, (((0,), (0,)), ((), ())),
+                               precision=_chain_prec(),
+                               preferred_element_type=out_dtype)
+
+
+def _dense_correct(fs: FusedTail, r1, Rdp, inv2):
+    """Coarse correction through the DENSE transfer.  Contractions avoid
+    lane-dimension shape casts (Mosaic rejects e.g. (c,gx,L)->(1,c*gx*L)):
+    Rdp is stored 3-D and reduced one axis at a time; the tiny coarse solve
+    is an MXU matmul on (n2, 1) columns."""
     c = fs.n_comp
     gz, gy, gx = fs.grid
     L = gz * gy
+    r1m = r1.reshape(c * gx, L)
+    prod = Rdp * r1m[None]                              # (n2, c*gx, L)
+    b2 = jnp.sum(jnp.sum(prod, axis=2), axis=1, keepdims=True)   # (n2, 1)
+    x2 = jnp.dot(inv2, b2, preferred_element_type=b2.dtype, precision=_HI)
+    corr = jnp.sum(Rdp * x2[:, :, None], axis=0)        # (c*gx, L) prolong
+    return corr.reshape(c, gx, L)
+
+
+def _windowed_correct(fs: FusedTail, r1, Sx2, Szy, Wt2, Mx2, Mzy, inv2p,
+                      S_R, S_C):
+    """Coarse correction through the WINDOWED transfer (dense Rd too large
+    for VMEM): restriction = per-axis 0/1 selection matmuls (x on sublanes;
+    merged (z,y) on lanes via a Kronecker selection), weight multiply, and
+    block-sum matmuls; the coarse vector is (de)vectorized with selection
+    matmuls (no lane-dim reshapes anywhere); the solve is one MXU matvec on
+    the kernel-order permuted inverse; prolongation is the mechanical
+    adjoint reusing the same VMEM copies.
+
+    Index walk (2.1M sizes in parens): r1 (c=2, gx=32, L=1024)
+      C[f]   = (Sx2 @ r1[f]) @ Szy^T                    (X2=48, ZY2=2304)
+      P[e2]  = sum_f Wt2[e2,f] * C[f]                   (X2, ZY2)
+      B[e2]  = Mzy^T @ (Mx2^T @ P[e2])^T                (ox=8, OZY=64)
+      b2     = vec_k(concat_e2 B[e2]) via S_R/S_C       (n2=2048, 1)
+      x2     = inv2p @ b2   [kernel-order coarse dofs]  (n2, 1)
+      ...adjoint back out to corr (c, gx, L).
+    """
+    c = fs.n_comp
+    gz, gy, gx = fs.grid
+    L = gz * gy
+    ft = r1.dtype
+    n2e = Wt2.shape[0]
+    ox = Mx2.shape[1]
+
+    Cs = []
+    for f in range(c):
+        t1 = _mm(Sx2, r1[f], ft)                        # (X2, L)
+        Cs.append(_mmT(t1, Szy, ft))                    # (X2, ZY2)
+    rows = []
+    for e2 in range(n2e):
+        P = None
+        for f in range(c):
+            t = Wt2[e2, f] * Cs[f]
+            P = t if P is None else P + t               # (X2, ZY2)
+        t = _mTm(P, Mx2, ft)                            # (ZY2, ox)
+        rows.append(_mTm(t, Mzy, ft))                   # (ox, OZY)
+    b2cat = jnp.concatenate(rows, axis=0)               # (n2e*ox, OZY)
+    # vec: b2col[k] = b2cat[k // OZY, k % OZY]
+    t = _mTm(S_R, b2cat, ft)                            # (n2, OZY)
+    b2col = jnp.sum(t * S_C, axis=1, keepdims=True)     # (n2, 1)
+    x2 = jnp.dot(inv2p, b2col, preferred_element_type=ft, precision=_HI)
+    # un-vec: X2cat[r, j] = x2[r * OZY + j]
+    X2cat = _mm(S_R, x2 * S_C, ft)                      # (n2e*ox, OZY)
+    Pex = []
+    for e2 in range(n2e):
+        X2b = X2cat[e2 * ox: (e2 + 1) * ox]             # (ox, OZY)
+        t = _mm(Mx2, X2b, ft)                           # (X2, OZY)
+        Pex.append(_mmT(t, Mzy, ft))                    # (X2, ZY2)
+    corr_planes = []
+    for f in range(c):
+        Q = None
+        for e2 in range(n2e):
+            t = Wt2[e2, f] * Pex[e2]
+            Q = t if Q is None else Q + t               # (X2, ZY2)
+        t = _mm(Q, Szy, ft)                             # (X2, L)
+        corr_planes.append(_mTm(Sx2, t, ft))            # (gx, L)
+    return jnp.stack(corr_planes, axis=0)               # (c, gx, L)
+
+
+def _subcycle_math(fs: FusedTail, b1, Kp, invd, coarse, coef_ref):
+    """The level>=1 V-cycle tail on (c, gx, gz*gy) planes — pure value math,
+    shared by the standalone and the full-tail kernels.  ``coarse`` is the
+    tuple of coarse-correction operands: (Rdp, inv2) for the dense form,
+    (Sx2, Szy, Wt2, Mx2, Mzy, inv2p, S_R, S_C) for the windowed form;
+    ``coef_ref`` the SMEM ref of the runtime Chebyshev coefficients."""
+    c = fs.n_comp
+    gz, gy, gx = fs.grid
+    L = gz * gy
+    alphas = [coef_ref[i] for i in range(fs.degree)]
+    betas = [coef_ref[fs.degree + i] for i in range(fs.degree)]
 
     def apply_A(x):
         acc = None
@@ -165,12 +275,12 @@ def _subcycle_math(fs: FusedTail, b1, Kp, invd, Rdp, inv2):
         # x = p_degree(D^-1 A) D^-1 src, zero initial guess
         z = invd * src
         p = z
-        x = fs.alphas[0] * z
+        x = alphas[0] * z
         for i in range(1, fs.degree):
             r = src - apply_A(x)
             z = invd * r
-            p = z + fs.betas[i] * p
-            x = x + fs.alphas[i] * p
+            p = z + betas[i] * p
+            x = x + alphas[i] * p
         return x
 
     def smooth(x):
@@ -182,26 +292,31 @@ def _subcycle_math(fs: FusedTail, b1, Kp, invd, Rdp, inv2):
     for _ in range(fs.nss - 1):
         x1 = smooth(x1)
 
-    # coarse correction through the dense transfer.  Contractions avoid
-    # lane-dimension shape casts (Mosaic rejects e.g. (c,gx,L)->(1,c*gx*L)):
-    # Rdp is stored 3-D and reduced one axis at a time; the tiny coarse solve
-    # is an MXU matmul on (n2, 1) columns.
     r1 = apply_A(x1) - b1
-    r1m = r1.reshape(c * gx, L)
-    prod = Rdp * r1m[None]                              # (n2, c*gx, L)
-    b2 = jnp.sum(jnp.sum(prod, axis=2), axis=1, keepdims=True)   # (n2, 1)
-    x2 = jnp.dot(inv2, b2, preferred_element_type=b2.dtype, precision=_HI)
-    corr = jnp.sum(Rdp * x2[:, :, None], axis=0)        # (c*gx, L) prolong
-    x1 = x1 - corr.reshape(c, gx, L)
+    if len(coarse) == 2:
+        corr = _dense_correct(fs, r1, *coarse)
+    else:
+        corr = _windowed_correct(fs, r1, *coarse)
+    x1 = x1 - corr
 
     for _ in range(fs.nss):
         x1 = smooth(x1)
     return x1
 
 
-def _subcycle_kernel(fs, b1_ref, Kp_ref, invd_ref, Rdp_ref, inv2_ref, out_ref):
+def _coarse_operands(fs: FusedTail):
+    """The coarse-correction operand tuple (dense or windowed form)."""
+    if fs.Rdp is not None:
+        return (fs.Rdp, fs.inv2)
+    return (fs.Sx2, fs.Szy, fs.Wt2, fs.Mx2, fs.Mzy, fs.inv2p, fs.S_R, fs.S_C)
+
+
+def _subcycle_kernel(fs, n_coarse, b1_ref, Kp_ref, invd_ref, coef_ref,
+                     *refs):
+    out_ref = refs[n_coarse]
     out_ref[:] = _subcycle_math(fs, b1_ref[:], Kp_ref[:], invd_ref[:],
-                                Rdp_ref[:], inv2_ref[:])
+                                tuple(r[:] for r in refs[:n_coarse]),
+                                coef_ref)
 
 
 _PARAMS = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
@@ -220,14 +335,17 @@ def fused_subcycle_apply(fs: FusedTail, b_coarse: jax.Array) -> jax.Array:
     # site-major flat -> (c, gx, gz*gy) planes
     b1 = b_coarse.reshape(gz, gy, gx, c)
     b1 = jnp.transpose(b1, (3, 2, 0, 1)).reshape(c, gx, gz * gy)
+    coarse = _coarse_operands(fs)
     out = pl.pallas_call(
-        functools.partial(_subcycle_kernel, fs),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        functools.partial(_subcycle_kernel, fs, len(coarse)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(coarse),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, gx, gz * gy), b_coarse.dtype),
         compiler_params=_PARAMS,
         interpret=_interpret(),
-    )(b1, fs.Kp, fs.invd, fs.Rdp, fs.inv2)
+    )(b1, fs.Kp, fs.invd, fs.cheb_coef, *coarse)
     out = jnp.transpose(out.reshape(c, gx, gz, gy), (2, 3, 1, 0))
     return out.reshape(b_coarse.shape)
 
@@ -241,21 +359,24 @@ def fused_correction_apply(fs: FusedTail, x: jax.Array,
     nz, ny, nx = fs.fine_grid
     x3 = x.reshape(nz, ny, nx)
     res3 = res.reshape(nz, ny, nx)
+    coarse = _coarse_operands(fs)
     out = pl.pallas_call(
-        functools.partial(_tail_kernel_full, fs),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+        functools.partial(_tail_kernel_full, fs, len(coarse)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(coarse),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), x.dtype),
         compiler_params=_PARAMS,
         interpret=_interpret(),
     )(x3, res3, fs.Wt, fs.Sz, fs.Sy, fs.Sx, fs.Mz, fs.My, fs.Mx,
-      fs.Kp, fs.invd, fs.Rdp, fs.inv2)
+      fs.Kp, fs.invd, fs.cheb_coef, *coarse)
     return out.reshape(x.shape)
 
 
-def _tail_kernel_full(fs, x_ref, res_ref, Wt_ref, Sz_ref, Sy_ref, Sx_ref,
-                      Mz_ref, My_ref, Mx_ref, Kp_ref, invd_ref, Rdp_ref,
-                      inv2_ref, out_ref):
+def _tail_kernel_full(fs, n_coarse, x_ref, res_ref, Wt_ref, Sz_ref, Sy_ref,
+                      Sx_ref, Mz_ref, My_ref, Mx_ref, Kp_ref, invd_ref,
+                      coef_ref, *refs):
     """Restriction chain (2-D matmuls), sub-cycle, adjoint prolongation.
 
     Layout walk of the restriction (every reshape regroups LEADING dims only;
@@ -267,6 +388,8 @@ def _tail_kernel_full(fs, x_ref, res_ref, Wt_ref, Sz_ref, Sy_ref, Sx_ref,
     The prolongation is the mechanical adjoint (reverse order, transposed
     matmuls via _mmT), reusing the same VMEM copies of W/S/M.
     """
+    out_ref = refs[n_coarse]
+    coarse = tuple(r[:] for r in refs[:n_coarse])
     nz, ny, nx = fs.fine_grid
     gz, gy, gx = fs.grid
     n_ev = fs.n_comp
@@ -296,7 +419,7 @@ def _tail_kernel_full(fs, x_ref, res_ref, Wt_ref, Sz_ref, Sy_ref, Sx_ref,
     b1 = jnp.stack(b1_planes, axis=0)
 
     # ---- sub-cycle ----
-    x1 = _subcycle_math(fs, b1, Kp_ref[:], invd_ref[:], Rdp_ref[:], inv2_ref[:])
+    x1 = _subcycle_math(fs, b1, Kp_ref[:], invd_ref[:], coarse, coef_ref)
 
     # ---- prolongation: mechanical adjoint of the chain above ----
     Q = None
@@ -340,7 +463,7 @@ def build_fused_tail(levels, n_smoothing_steps: int = 1):
     tr = l1.transfer
     if not (isinstance(op, BlockStencilOperator)
             and isinstance(sm, ChebyshevSmoother)
-            and isinstance(tr, GeneralWindowTransfer) and tr.Rd is not None
+            and isinstance(tr, GeneralWindowTransfer)
             and l2.coarse is not None
             and isinstance(l2.coarse, DirectCoarseSolver)):
         return None
@@ -364,13 +487,22 @@ def build_fused_tail(levels, n_smoothing_steps: int = 1):
     invd = invd.reshape(gz, gy, gx, c).transpose(3, 2, 0, 1).reshape(
         c, gx, gz * gy)
 
-    Rd = np.asarray(tr.Rd, dtype=dtype)              # (n2, n1) site-major cols
-    n2 = Rd.shape[0]
-    Rdp = Rd.reshape(n2, gz, gy, gx, c).transpose(0, 4, 3, 1, 2).reshape(
-        n2, c * gx, gz * gy)
-    inv2 = np.asarray(l2.coarse.inv, dtype=dtype)
+    Rdp = inv2 = None
+    Sx2 = Szy = Wt2 = Mx2 = Mzy = inv2p = S_R = S_C = None
+    if tr.Rd is not None:
+        Rd = np.asarray(tr.Rd, dtype=dtype)          # (n2, n1) site-major cols
+        n2 = Rd.shape[0]
+        Rdp = Rd.reshape(n2, gz, gy, gx, c).transpose(0, 4, 3, 1, 2).reshape(
+            n2, c * gx, gz * gy)
+        inv2 = np.asarray(l2.coarse.inv, dtype=dtype)
+    else:
+        w = _windowed_operands(tr, l2.coarse, c, (gz, gy, gx), dtype)
+        if w is None:
+            return None
+        Sx2, Szy, Wt2, Mx2, Mzy, inv2p, S_R, S_C = w
 
     alphas, betas = _cheb_coeffs(float(sm.theta), float(sm.delta), sm.degree)
+    cheb_coef = np.asarray(alphas + betas, dtype=dtype)
 
     # fine-level windowed transfer (optional: sub-cycle-only fusion without it)
     Wt = Sz = Sy = Sx = Mz = My = Mx = None
@@ -399,17 +531,87 @@ def build_fused_tail(levels, n_smoothing_steps: int = 1):
             blocksum.append(M)
         Mz, My, Mx = blocksum
 
-    j = jnp.asarray
+    def j(a):
+        return None if a is None else jnp.asarray(a)
+
     return FusedTail(
         Kp=j(Kp), invd=j(invd), Rdp=j(Rdp), inv2=j(inv2),
-        Wt=None if Wt is None else j(Wt),
-        Sz=None if Sz is None else j(Sz), Sy=None if Sy is None else j(Sy),
-        Sx=None if Sx is None else j(Sx),
-        Mz=None if Mz is None else j(Mz), My=None if My is None else j(My),
-        Mx=None if Mx is None else j(Mx),
+        Wt=j(Wt), Sz=j(Sz), Sy=j(Sy), Sx=j(Sx),
+        Mz=j(Mz), My=j(My), Mx=j(Mx),
+        cheb_coef=j(cheb_coef),
         shifts=shifts, grid=(gz, gy, gx), n_comp=c,
-        alphas=alphas, betas=betas, fine_grid=fine_grid,
-        nss=n_smoothing_steps)
+        deg=sm.degree, fine_grid=fine_grid,
+        nss=n_smoothing_steps,
+        Sx2=j(Sx2), Szy=j(Szy), Wt2=j(Wt2), Mx2=j(Mx2), Mzy=j(Mzy),
+        inv2p=j(inv2p), S_R=j(S_R), S_C=j(S_C))
+
+
+def _windowed_operands(tr, coarse_solver, c, grid, dtype):
+    """Bake the windowed L1->L2 operand set from a GeneralWindowTransfer and
+    the direct coarse solver (kernel-order permuted inverse).  Returns None
+    when the shapes don't fit the kernel (non-3D, component mismatch, or a
+    working set beyond the VMEM budget)."""
+    gz, gy, gx = grid
+    if len(tr.in_grid) != 3 or tr.in_grid != grid or tr.n_in != c:
+        return None
+    oz, oy, ox = tr.out_grid
+    wz, wy, wx = tr.window_shape
+    sz, sy, sx = tr.stride
+    tz0, ty0, tx0 = tr.t0
+    n2e = tr.n_out
+    n2 = n2e * oz * oy * ox
+    OZY = oz * oy
+    X2, ZY2 = ox * wx, oz * wz * oy * wy
+
+    def sel(o, w, s, t0, g):
+        S = np.zeros((o * w, g))
+        a = np.repeat(np.arange(o), w)
+        t = np.tile(np.arange(w), o)
+        col = a * s + t0 + t
+        ok = (col >= 0) & (col < g)
+        S[(a * w + t)[ok], col[ok]] = 1.0
+        return S
+
+    Sx2 = sel(ox, wx, sx, tx0, gx)
+    Szy = np.kron(sel(oz, wz, sz, tz0, gz), sel(oy, wy, sy, ty0, gy))
+
+    def bsum(o, w):
+        M = np.zeros((o * w, o))
+        M[np.arange(o * w), np.repeat(np.arange(o), w)] = 1.0
+        return M
+
+    Mx2 = bsum(ox, wx)
+    Mzy = np.kron(bsum(oz, wz), bsum(oy, wy))
+
+    # weights: W (n_out, wz, wy, wx, n_in, oz, oy, ox) ->
+    # Wt2[e2, f, ax*wx+tx, ((az*wz+tz)*oy + ay)*wy + ty]
+    W = np.asarray(tr.W, dtype=np.float64)
+    Wt2 = W.transpose(0, 4, 7, 3, 5, 1, 6, 2).reshape(n2e, c, X2, ZY2)
+
+    # coarse inverse permuted to kernel order kappa = (e2*ox + ax)*OZY +
+    # (az*oy + ay); natural coarse order = (ax + ox*(ay + oy*az))*n2e + e2
+    inv = np.asarray(coarse_solver.inv, dtype=np.float64)
+    if inv.shape != (n2, n2):
+        return None
+    kappa = np.arange(n2)
+    ay_ = kappa % oy
+    az_ = (kappa // oy) % oz
+    ax_ = (kappa // OZY) % ox
+    e2_ = kappa // (ox * OZY)
+    nat = (ax_ + ox * (ay_ + oy * az_)) * n2e + e2_
+    inv2p = inv[np.ix_(nat, nat)]
+
+    S_R = (kappa[None, :] // OZY == np.arange(n2e * ox)[:, None]).astype(
+        np.float64)                                     # (n2e*ox, n2)
+    S_C = (kappa[:, None] % OZY == np.arange(OZY)[None, :]).astype(
+        np.float64)                                     # (n2, OZY)
+
+    # VMEM feasibility: all operands resident at once (plus working values)
+    total = sum(a.size for a in (Sx2, Szy, Wt2, Mx2, Mzy, inv2p, S_R, S_C))
+    if total * np.dtype(dtype).itemsize > 60 * 1024 * 1024:
+        return None
+    cast = lambda a: a.astype(dtype)
+    return tuple(cast(a) for a in (Sx2, Szy, Wt2, Mx2, Mzy, inv2p, S_R, S_C))
 
 
 # backward-compatible alias (sub-cycle-only builder)

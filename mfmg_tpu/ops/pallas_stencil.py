@@ -104,6 +104,22 @@ def tiled_sym_geom(grid_shape, n_tiles=1):
     return bz, rows_total, G, F0, FW
 
 
+def tiled_sym_supported(grid_shape, offsets, sym_pos) -> bool:
+    """The z-tiled symmetric kernel hard-codes a 1-row z-halo and a G-lane
+    guard: it is only correct when every symmetric offset has |dz| <= 1 and a
+    lane shift |dy*gx + dx| <= G.  Outside that envelope the guard slices
+    `xv[1-dz:...]` / `[G-s:...]` would go negative and wrap to the far end of
+    the slab — a silently wrong operator (advisor finding, round 4).  Checked
+    here at dispatch/build time and asserted again inside the kernel."""
+    gz, gy, gx = grid_shape
+    _, _, G, _, _ = tiled_sym_geom(grid_shape)
+    for i in sym_pos:
+        dz, dy, dx = offsets[i]
+        if abs(dz) > 1 or abs(dy * gx + dx) > G:
+            return False
+    return True
+
+
 def pad_planes_tiled_sym(coeffs, offsets, grid_shape, n_tiles=None):
     """Host-side guard-padded coefficient planes for the z-tiled symmetric
     kernel (one-shot at operator finalization)."""
@@ -144,6 +160,9 @@ def pallas_stencil_apply_tiled_sym(coeffs_tiled, x, offsets, grid_shape,
     if n_tiles is None:
         n_tiles = pick_sym_tiles(grid_shape)
     bz, rows_total, G, F0, FW = tiled_sym_geom(grid_shape, n_tiles)
+    assert tiled_sym_supported(grid_shape, offsets, sym_pos), (
+        f"tiled-sym kernel envelope violated (needs |dz|<=1, |dy*gx+dx|<="
+        f"{G}) for grid {grid_shape}, offsets {offsets}")
     ctr = offsets.index((0, 0, 0))
     plane_ids = (ctr,) + tuple(sym_pos)
     n_planes = len(plane_ids)
@@ -203,6 +222,292 @@ def pallas_stencil_apply_tiled_sym(coeffs_tiled, x, offsets, grid_shape,
         interpret=(jax.default_backend() == "cpu"),
     )(coeffs_tiled, xp)
     return y[:gz, :nf].reshape(-1)
+
+
+# --------------------------------------------------------------------------
+# Z-tiled FUSED Chebyshev smoother (grids beyond VMEM residency, e.g. 129^3).
+#
+# The unfused path at such sizes pays one full coefficient-plane stream per
+# polynomial apply (degree applies/smooth) plus unfusable XLA elementwise
+# passes between the pallas applies (measured 0.44 ms/smooth + 0.18 ms
+# residual at 2.1M).  This kernel runs the WHOLE deal.II-semantics Chebyshev
+# application (and optionally the V-cycle residual) per z-tile with the
+# symmetric coefficient planes DMA'd once and reused by every term.
+#
+# Chained applies cross tile boundaries, so each tile works on a slab with an
+# 8-row halo each side and SHRINKING per-level margins: after l applies the
+# valid region has lost l rows and l*GL lanes on each side; all shifted reads
+# are unaligned static VALUE slices (free on Mosaic — only DMA slices need
+# alignment).  With degree d + residual the deepest level is d+1, and the
+# guard sizing (8 rows, GT = 4*GL lanes) covers d <= 3 smoothing polynomials
+# with |dz| <= 1 offsets and lane shifts |dy*gx+dx| <= GL.
+# --------------------------------------------------------------------------
+
+_CHEB_GL = 160          # lane margin consumed per chained apply (>= max
+                        # lane shift gx+1; 129^3 needs 130)
+_CHEB_MAX_LEVELS = 4    # supports polynomial degree <= 3 (+ residual)
+
+
+def cheb_tiled_geom(grid_shape, n_tiles):
+    """(bz, rows_total, GL, GT, F0, FW) of the level-margin layout: lanes
+    [GT zeros | nf data | pad to F0 | GT zeros], rows [4 zeros | gz data |
+    pad | 4 zeros].  bz is 8-aligned; tile i DMAs rows [i*bz, i*bz+bz+8) —
+    the 4-row offset inside the 8-aligned window gives a 4-row halo each
+    side, enough for the <= _CHEB_MAX_LEVELS chained applies while keeping
+    the slab 8 rows leaner than a full 8+8 halo (VMEM is the binding
+    constraint at 129^3: measured 132-136 MB of 128 with the fat halo)."""
+    gz, gy, gx = grid_shape
+    nf = gy * gx
+    bz = -(-(-(-gz // n_tiles)) // 8) * 8
+    rows_total = 4 + n_tiles * bz + 4
+    GL = _CHEB_GL
+    GT = _CHEB_MAX_LEVELS * GL
+    F0 = -(-nf // 128) * 128
+    FW = GT + F0 + GT
+    return bz, rows_total, GL, GT, F0, FW
+
+
+def cheb_tiled_supported(grid_shape, offsets, sym_pos, degree) -> bool:
+    """Kernel envelope: every symmetric offset has dz in {0, 1} and a lane
+    shift |dy*gx+dx| <= GL, and degree + 1 (residual) levels fit the guards."""
+    gz, gy, gx = grid_shape
+    if degree + 1 > min(_CHEB_MAX_LEVELS, 8):
+        return False
+    for i in sym_pos:
+        dz, dy, dx = offsets[i]
+        if dz not in (0, 1) or abs(dy * gx + dx) > _CHEB_GL:
+            return False
+    return True
+
+
+def pick_cheb_tiles(grid_shape, n_planes, coeff_bytes=2, degree=2) -> int:
+    """Smallest tile count whose working set (coeff slabs + x/b/invd slabs +
+    stage buffers + the register allocator's live/spill set) fits physical
+    VMEM.  The 14-slab live allowance is MEASURED: at 129^3/n_tiles=3 the
+    kernel's true footprint was 136 MB against this model's estimate — the
+    spill set is ~14 slab-sized temporaries, not the naive 4-5."""
+    n_stage = 3 * (degree - 1) + 1
+    for n_tiles in (1, 2, 3, 4, 5, 6, 8, 12, 16):
+        bz, rows_total, GL, GT, F0, FW = cheb_tiled_geom(grid_shape, n_tiles)
+        R = bz + 8
+        need = (n_planes * R * FW * coeff_bytes   # resident coeff slabs
+                + 3 * R * FW * 4                  # x, b, invd slabs
+                + n_stage * R * FW * 4            # stage buffers (upper bd)
+                + 14 * R * FW * 4                 # live values + spills
+                + 2 * 2 * bz * F0 * 4)            # double-buffered outs
+        if need < 120 * 1024 * 1024:
+            return n_tiles
+    return 16
+
+
+def pad_planes_cheb(coeffs, offsets, grid_shape, sym_pos, n_tiles=None):
+    """Host-side guard-padded center+positive coefficient planes in the
+    cheb-tiled layout (one-shot at operator finalization).  Plane order:
+    [center] + sym_pos (the kernel indexes positionally)."""
+    gz, gy, gx = grid_shape
+    nf = gy * gx
+    if n_tiles is None:
+        n_tiles = pick_cheb_tiles(grid_shape, 1 + len(sym_pos),
+                                  np.asarray(coeffs).dtype.itemsize)
+    bz, rows_total, GL, GT, F0, FW = cheb_tiled_geom(grid_shape, n_tiles)
+    ctr = offsets.index((0, 0, 0))
+    ids = (ctr,) + tuple(sym_pos)
+    c = np.asarray(coeffs).reshape(-1, gz, nf)[list(ids)]
+    out = np.zeros((len(ids), rows_total, FW), dtype=c.dtype)
+    out[:, 4: 4 + gz, GT: GT + nf] = c
+    return jnp.asarray(out)
+
+
+def pad_vec_cheb_host(x, grid_shape, n_tiles):
+    """Host-numpy zero-padded (rows_total, FW) vector (setup one-shots)."""
+    gz, gy, gx = grid_shape
+    nf = gy * gx
+    bz, rows_total, GL, GT, F0, FW = cheb_tiled_geom(grid_shape, n_tiles)
+    v = np.asarray(x).reshape(gz, nf)
+    out = np.zeros((rows_total, FW), dtype=v.dtype)
+    out[4: 4 + gz, GT: GT + nf] = v
+    return jnp.asarray(out)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_shape", "n_tiles"))
+def pad_vec_cheb(x, grid_shape, n_tiles):
+    gz, gy, gx = grid_shape
+    nf = gy * gx
+    bz, rows_total, GL, GT, F0, FW = cheb_tiled_geom(grid_shape, n_tiles)
+    return jnp.pad(x.reshape(gz, nf),
+                   ((4, rows_total - 4 - gz), (GT, FW - GT - nf)))
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "grid_shape",
+                                             "sym_pos", "degree",
+                                             "want_res", "n_tiles"))
+def pallas_cheb_smooth_tiled(cpt, xpad, bpad, invd_pad, coef, offsets,
+                             grid_shape, sym_pos, degree, want_res=False,
+                             n_tiles=1):
+    """Whole Chebyshev smoother application x <- x - p(D^-1 A)D^-1(Ax-b) for
+    grids beyond VMEM residency, z-tiled with per-level shrinking margins.
+    With want_res also emits the V-cycle residual A x_s - b from the planes
+    already in VMEM.  I/O in the padded (rows_total, FW) cheb layout; all
+    padding of x/b/invd must be zero (guards then stay zero through every
+    intermediate because the padded coefficient planes are zero).
+
+    deal.II PreconditionChebyshev semantics exactly (solve/smoothers.py
+    _chebyshev_vmult; reference dealii_matrix_free_smoother.cc:34-56).
+
+    coef: f32 (2*degree,) RUNTIME array [alpha_1..alpha_d, beta_1..beta_d]
+    read from SMEM — theta/delta are data-dependent (Lanczos estimates), and
+    baking them as compile-time constants would force the ~8-minute Mosaic
+    compile of this kernel on EVERY fresh hierarchy setup; as runtime
+    scalars the compiled kernel (and the persistent compilation cache entry)
+    is reusable across setups."""
+    gz, gy, gx = grid_shape
+    nf = gy * gx
+    bz, rows_total, GL, GT, F0, FW = cheb_tiled_geom(grid_shape, n_tiles)
+    n_levels = degree + (1 if want_res else 0)
+    assert cheb_tiled_supported(grid_shape, offsets, sym_pos, degree), (
+        f"cheb-tiled kernel envelope violated for grid {grid_shape}")
+    ctr = offsets.index((0, 0, 0))
+    plane_ids = (ctr,) + tuple(sym_pos)
+    n_planes = len(plane_ids)
+    R = bz + 8
+    shifts = tuple(offsets[i] for i in sym_pos)
+
+    def shp(l):
+        # level-l value shape: rows [l, R-l), lanes [l*GL, FW-l*GL)
+        return (R - 2 * l, FW - 2 * l * GL)
+
+    # Intermediates carried ACROSS applies are staged through VMEM scratch
+    # buffers (full-buffer aligned stores, whole-value loads): a pure value
+    # formulation of the unrolled recurrence spilled 160 MB of register
+    # slots at 129^3 (measured) — the stores cut the dataflow so the
+    # register allocator only ever holds one apply's working set.
+    n_stage = 3 * (degree - 1) + (1 if want_res else 0)
+
+    def kernel(c_ref, x_ref, b_ref, invd_ref, coef_ref, *refs):
+        alphas = [coef_ref[i] for i in range(degree)]
+        betas = [coef_ref[degree + i] for i in range(degree)]
+        out_x = refs[0]
+        n_fix = 4 + n_stage + 1
+        xs_s, bs_s, is_s, cbuf = refs[-n_fix:-n_fix + 4]
+        stage = refs[-n_fix + 4:-1]
+        sems = refs[-1]
+        i = pl.program_id(0)
+
+        def slab(src, dst, sem):
+            return pltpu.make_async_copy(src.at[pl.ds(i * bz, R)], dst, sem)
+
+        slab(x_ref, xs_s, sems.at[0]).start()
+        slab(b_ref, bs_s, sems.at[1]).start()
+        slab(invd_ref, is_s, sems.at[2]).start()
+        for j in range(n_planes):
+            pltpu.make_async_copy(c_ref.at[j].at[pl.ds(i * bz, R)],
+                                  cbuf.at[j], sems.at[3 + j]).start()
+        slab(x_ref, xs_s, sems.at[0]).wait()
+        slab(b_ref, bs_s, sems.at[1]).wait()
+        slab(invd_ref, is_s, sems.at[2]).wait()
+        for j in range(n_planes):
+            pltpu.make_async_copy(c_ref.at[j].at[pl.ds(i * bz, R)],
+                                  cbuf.at[j], sems.at[3 + j]).wait()
+
+        ft = xpad.dtype
+
+        def lvl_slice(ref, l):
+            # full-slab scratch -> its level-l window (unaligned static
+            # VALUE slices of the loaded slab are ~free on Mosaic)
+            return ref[:][l: R - l, l * GL: FW - l * GL]
+
+        def crop(v):
+            # one level down: drop 1 row and GL lanes per side
+            return v[1: v.shape[0] - 1, GL: v.shape[1] - GL]
+
+        def apply_at(v, l):
+            """A applied to a level-l value -> level l+1 (symmetric pairs:
+            forward C_o[r]*v[r+dz, c+s] plus transpose C_o[r-dz, c-s]*
+            v[r-dz, c-s]); coefficient slabs sliced then upconverted so each
+            scoped f32 buffer is slice-sized and dies at its FMA."""
+            out_rows = R - 2 * (l + 1)
+            lo, hi = (l + 1) * GL, FW - (l + 1) * GL
+            w = hi - lo
+            c0 = cbuf[0]
+            acc = (c0[l + 1: R - l - 1, lo: hi].astype(ft)
+                   * v[1: 1 + out_rows, GL: GL + w])
+            for j, (dz, dy, dx) in enumerate(shifts):
+                s = dy * gx + dx
+                c = cbuf[j + 1]
+                acc = acc + (c[l + 1: R - l - 1, lo: hi].astype(ft)
+                             * v[1 + dz: 1 + dz + out_rows, GL + s: GL + s + w])
+                acc = acc + (c[l + 1 - dz: R - l - 1 - dz, lo - s: hi - s]
+                             .astype(ft)
+                             * v[1 - dz: 1 - dz + out_rows, GL - s: GL - s + w])
+            return acc
+
+        # deal.II Chebyshev recurrence with per-level margins; r/p/dx live
+        # in stage buffers between applies
+        r = apply_at(xs_s[:], 0) - lvl_slice(bs_s, 1)          # level 1
+        z = lvl_slice(is_s, 1) * r
+        dx = alphas[0] * z
+        if degree > 1:
+            rb, pb, db = stage[0], stage[1], stage[2]
+            rb[:] = r
+            pb[:] = z
+            db[:] = dx
+            for it in range(1, degree):
+                Ad = apply_at(db[:], it)                       # level it+1
+                r = crop(rb[:]) - Ad
+                z = lvl_slice(is_s, it + 1) * r
+                p = z + betas[it] * crop(pb[:])
+                dx = crop(db[:]) + alphas[it] * p
+                if it + 1 < degree:
+                    rb2, pb2, db2 = stage[3 * it: 3 * it + 3]
+                    rb2[:] = r
+                    pb2[:] = p
+                    db2[:] = dx
+        xs = lvl_slice(xs_s, degree) - dx                      # level degree
+        d = degree
+        out_x[:] = xs[4 - d: 4 - d + bz, GT - d * GL: GT - d * GL + F0]
+        if want_res:
+            xb = stage[-1]
+            xb[:] = xs
+            res = apply_at(xb[:], d) - lvl_slice(bs_s, d + 1)  # level d+1
+            refs[1][:] = res[4 - d - 1: 4 - d - 1 + bz,
+                             GT - (d + 1) * GL: GT - (d + 1) * GL + F0]
+
+    stage_shapes = []
+    for it in range(1, degree):
+        stage_shapes += [pltpu.VMEM(shp(it), xpad.dtype)] * 3
+    if want_res:
+        stage_shapes.append(pltpu.VMEM(shp(degree), xpad.dtype))
+
+    n_out = 2 if want_res else 1
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec((bz, F0), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((n_tiles * bz, F0), xpad.dtype)] * n_out,
+        scratch_shapes=[
+            pltpu.VMEM((R, FW), xpad.dtype),
+            pltpu.VMEM((R, FW), xpad.dtype),
+            pltpu.VMEM((R, FW), xpad.dtype),
+            pltpu.VMEM((n_planes, R, FW), cpt.dtype),
+        ] + stage_shapes + [
+            pltpu.SemaphoreType.DMA((3 + n_planes,)),
+        ],
+        # this kernel intentionally fills VMEM (slab scratch + the register
+        # allocator's live set — 119 MB measured at 129^3/n_tiles=4);
+        # allow everything short of the 128 MB physical capacity
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=(jax.default_backend() == "cpu"),
+    )(cpt, xpad, bpad, invd_pad, coef)
+    return outs
+
+
+def unpad_vec_cheb(y, grid_shape):
+    gz, gy, gx = grid_shape
+    return y[:gz, : gy * gx].reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "grid_shape", "bz"))
@@ -381,10 +686,10 @@ def pallas_stencil_apply_sym(coeffs, x, offsets, grid_shape, sym_pos,
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "grid_shape",
-                                             "sym_pos", "alphas", "betas",
+                                             "sym_pos", "degree",
                                              "want_res"))
-def pallas_cheb_smooth(cp, xpad, bpad, invd_pad, offsets, grid_shape,
-                       sym_pos, alphas, betas, want_res=False):
+def pallas_cheb_smooth(cp, xpad, bpad, invd_pad, coef, offsets, grid_shape,
+                       sym_pos, degree, want_res=False):
     """One WHOLE Chebyshev smoother application x <- x - p(D^-1 A)D^-1(Ax-b)
     in a single kernel: the (n_off+1)/2 symmetric coefficient planes are
     DMA'd into VMEM ONCE and reused by every polynomial term (degree applies
@@ -406,7 +711,6 @@ def pallas_cheb_smooth(cp, xpad, bpad, invd_pad, offsets, grid_shape,
     ctr = offsets.index((0, 0, 0))
     plane_ids = (ctr,) + tuple(sym_pos)
     n_planes = len(plane_ids)
-    degree = len(alphas)
 
     fwd_lane = tuple((-(offsets[i][1] * gx + offsets[i][2])) % F
                      for i in sym_pos)
@@ -415,7 +719,9 @@ def pallas_cheb_smooth(cp, xpad, bpad, invd_pad, offsets, grid_shape,
                      for i in sym_pos)
     bwd_sub = tuple(offsets[i][0] % gz_pad for i in sym_pos)
 
-    def kernel(cp_ref, xp_ref, bp_ref, invd_ref, *out_refs):
+    def kernel(cp_ref, xp_ref, bp_ref, invd_ref, coef_ref, *out_refs):
+        alphas = [coef_ref[i] for i in range(degree)]
+        betas = [coef_ref[degree + i] for i in range(degree)]
         out_x = out_refs[0]
         planes = out_refs[-2]
         sems = out_refs[-1]
@@ -469,6 +775,7 @@ def pallas_cheb_smooth(cp, xpad, bpad, invd_pad, offsets, grid_shape,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # runtime cheb coef
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out,
         out_shape=[jax.ShapeDtypeStruct((gz_pad, F), xpad.dtype)] * n_out,
@@ -478,7 +785,7 @@ def pallas_cheb_smooth(cp, xpad, bpad, invd_pad, offsets, grid_shape,
         ],
         compiler_params=_compiler_params(),
         interpret=(jax.default_backend() == "cpu"),
-    )(cp, xpad, bpad, invd_pad)
+    )(cp, xpad, bpad, invd_pad, coef)
     return outs if want_res else (outs[0],)
 
 

@@ -55,6 +55,9 @@ class StencilOperator:
     # guard-padded planes for the z-tiled symmetric kernel (grids beyond
     # VMEM residency, e.g. 129^3); see pallas_stencil.tiled_sym_geom
     coeffs_tiled: object = None
+    # center+positive planes in the z-tiled fused-Chebyshev layout (deeper
+    # guards for the chained in-kernel applies); pallas_stencil.cheb_tiled_geom
+    coeffs_cheb: object = None
 
     @property
     def shape(self):
@@ -143,9 +146,11 @@ def stencil_apply(op: StencilOperator, x: jax.Array) -> jax.Array:
             return pallas_stencil_apply(planes, x, op.offsets, op.grid_shape,
                                         pre_padded=pre)
         if sym is not None and op.coeffs_tiled is not None:
-            from mfmg_tpu.ops.pallas_stencil import pallas_stencil_apply_tiled_sym
-            return pallas_stencil_apply_tiled_sym(
-                op.coeffs_tiled, x, op.offsets, op.grid_shape, sym)
+            from mfmg_tpu.ops.pallas_stencil import (
+                pallas_stencil_apply_tiled_sym, tiled_sym_supported)
+            if tiled_sym_supported(op.grid_shape, op.offsets, sym):
+                return pallas_stencil_apply_tiled_sym(
+                    op.coeffs_tiled, x, op.offsets, op.grid_shape, sym)
         if os.environ.get("MFMG_TILED_STENCIL"):
             bz = pick_tile_bz(op.grid_shape, op.offsets, coeff_bytes=cb)
             if bz is not None:
@@ -314,7 +319,8 @@ def stencil_to_device(op: StencilOperator) -> StencilOperator:
     if (op.coeffs_padded is None and op.coeffs_tiled is None
             and jax.default_backend() == "tpu" and len(op.grid_shape) == 3):
         from mfmg_tpu.ops.pallas_stencil import (fits_vmem, pad_planes,
-                                                 pad_planes_tiled_sym)
+                                                 pad_planes_tiled_sym,
+                                                 tiled_sym_supported)
         # pad from the host copy when available: a d2h readback of the
         # planes costs seconds on tunneled runtimes (4.4 MB/s measured)
         src = host_coeffs if host_coeffs is not None else op.coeffs
@@ -322,10 +328,17 @@ def stencil_to_device(op: StencilOperator) -> StencilOperator:
                      coeff_bytes=op.coeffs.dtype.itemsize):
             op = dataclasses.replace(
                 op, coeffs_padded=pad_planes(src, op.offsets, op.grid_shape))
-        elif op.sym_pos is not None:
+        elif (op.sym_pos is not None
+              and tiled_sym_supported(op.grid_shape, op.offsets, op.sym_pos)):
+            # offsets outside the kernel's halo/guard envelope (|dz|>1 or a
+            # lane shift beyond the guard, e.g. degree-2 stencils or gx>255)
+            # stay on the XLA fallback — the kernel would silently wrap
+            from mfmg_tpu.ops.pallas_stencil import pad_planes_cheb
             op = dataclasses.replace(
                 op, coeffs_tiled=pad_planes_tiled_sym(src, op.offsets,
-                                                      op.grid_shape))
+                                                      op.grid_shape),
+                coeffs_cheb=pad_planes_cheb(src, op.offsets, op.grid_shape,
+                                            op.sym_pos))
     return op
 
 

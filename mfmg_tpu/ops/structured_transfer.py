@@ -79,11 +79,20 @@ def _sel_mats(tr: StructuredTransfer, dtype):
 # PCG iterations (measured 13 -> 13 at 2.1M, 9 -> 9 at 274k) while the
 # 129^3 transfer pair drops 2.29 -> ~0.9 ms.  MFMG_TRANSFER_HI=1 restores
 # exact transfers (CPU golden tests are unaffected either way: precision
-# flags are no-ops off-TPU).
+# flags are no-ops off-TPU).  Note bf16 passes make restrict/prolong no
+# longer exact adjoints inside the CG preconditioner (mildly nonsymmetric
+# preconditioner); iteration counts verified unchanged at 274k and 2.1M.
+#
+# The env var is read at TRACE time (each call below), not import time, so
+# setting it programmatically before building/applying a hierarchy in the
+# same process works; already-compiled executables keep the precision they
+# were traced with (jit caches are keyed on shapes, not env vars).
 import os as _os
 
-_HI = (jax.lax.Precision.HIGHEST if _os.environ.get("MFMG_TRANSFER_HI")
-       else jax.lax.Precision.DEFAULT)
+
+def _prec():
+    return (jax.lax.Precision.HIGHEST if _os.environ.get("MFMG_TRANSFER_HI")
+            else jax.lax.Precision.DEFAULT)
 
 
 @jax.jit
@@ -95,6 +104,7 @@ def structured_restrict(tr: StructuredTransfer, x: jax.Array) -> jax.Array:
     65^3/4^3 blocks on v5e: 75 us vs 185 us for the round-2 corner-subset
     einsum decomposition (whose 2^dim blocked-reshape concats are relayout-
     bound) and 3.3 ms for conv_general_dilated_patches."""
+    _HI = _prec()
     dim = len(tr.agg_shape)
     na, win = tr.agg_shape, tr.window_shape
     t = x.reshape(tr.grid_shape)
@@ -119,6 +129,7 @@ def structured_prolong(tr: StructuredTransfer, xc: jax.Array) -> jax.Array:
     """Exact linear transpose of structured_restrict, written directly as the
     reverse chain (weights contraction, then per-axis transposed-selection
     matmuls — overlap-add happens inside the S^T matmul)."""
+    _HI = _prec()
     dim = len(tr.agg_shape)
     na, win = tr.agg_shape, tr.window_shape
     xcg = xc.reshape(na + (tr.n_ev,))

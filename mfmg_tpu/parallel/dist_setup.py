@@ -106,6 +106,13 @@ def super_partition(super_of_agg: np.ndarray, nproc: int | None = None,
     nproc = nproc if nproc is not None else jax.process_count()
     pid = pid if pid is not None else jax.process_index()
     n_super = int(super_of_agg.max()) + 1
+    if nproc > n_super:
+        # an empty super slab would flow an n_agg==0 batch into the slab
+        # eigensolve / Galerkin-block paths, which are not written for it
+        raise ValueError(
+            f"distributed setup needs process_count <= n_super "
+            f"({nproc} processes > {n_super} super-agglomerates); use fewer "
+            f"processes or a finer mesh, or disable Config.distributed_setup")
     bounds = np.linspace(0, n_super, nproc + 1).astype(int)
     agg_sels = [np.nonzero((super_of_agg >= bounds[p])
                            & (super_of_agg < bounds[p + 1]))[0]

@@ -278,11 +278,14 @@ class FusedChebyshevSmoother:
     dealii_matrix_free_smoother.cc:34-56)."""
 
     inv_diag_padded: jax.Array     # zero-padded (gz_pad, F)
-    alphas: tuple = dataclasses.field(metadata=dict(static=True))
-    betas: tuple = dataclasses.field(metadata=dict(static=True))
+    coef: jax.Array                # (2*degree,) [alphas..., betas...] —
+                                   # RUNTIME data (theta/delta are setup-
+                                   # dependent; static coefficients would
+                                   # recompile the kernel every fresh setup)
     offsets: tuple = dataclasses.field(metadata=dict(static=True))
     grid_shape: tuple = dataclasses.field(metadata=dict(static=True))
     sym_pos: tuple = dataclasses.field(metadata=dict(static=True))
+    degree: int = dataclasses.field(metadata=dict(static=True), default=1)
 
     def apply(self, op, b, x):
         from mfmg_tpu.ops.pallas_stencil import (pad_vec, pallas_cheb_smooth,
@@ -290,9 +293,9 @@ class FusedChebyshevSmoother:
         xp = pad_vec(x, self.offsets, self.grid_shape)
         bp = pad_vec(b, self.offsets, self.grid_shape)
         (out,) = pallas_cheb_smooth(op.coeffs_padded, xp, bp,
-                                    self.inv_diag_padded, self.offsets,
-                                    self.grid_shape, self.sym_pos,
-                                    self.alphas, self.betas)
+                                    self.inv_diag_padded, self.coef,
+                                    self.offsets, self.grid_shape,
+                                    self.sym_pos, self.degree)
         return unpad_vec(out, self.offsets, self.grid_shape)
 
     def apply_with_residual(self, op, b, x):
@@ -303,29 +306,127 @@ class FusedChebyshevSmoother:
         xp = pad_vec(x, self.offsets, self.grid_shape)
         bp = pad_vec(b, self.offsets, self.grid_shape)
         out, res = pallas_cheb_smooth(op.coeffs_padded, xp, bp,
-                                      self.inv_diag_padded, self.offsets,
-                                      self.grid_shape, self.sym_pos,
-                                      self.alphas, self.betas, want_res=True)
+                                      self.inv_diag_padded, self.coef,
+                                      self.offsets, self.grid_shape,
+                                      self.sym_pos, self.degree,
+                                      want_res=True)
         return (unpad_vec(out, self.offsets, self.grid_shape),
                 unpad_vec(res, self.offsets, self.grid_shape))
 
+    def to_plain(self) -> "ChebyshevSmoother":
+        """The equivalent unfused ChebyshevSmoother (A/B harnesses; exact:
+        theta/delta are recovered from the recurrence coefficients)."""
+        from mfmg_tpu.ops.pallas_stencil import unpad_vec
+        return _plain_from_fused(self.coef,
+                                 unpad_vec(self.inv_diag_padded, self.offsets,
+                                           self.grid_shape))
 
-def fuse_chebyshev(sm: "ChebyshevSmoother", op) -> FusedChebyshevSmoother | None:
-    """Bake a FusedChebyshevSmoother when op is a symmetric stencil with
-    pre-padded planes; None otherwise."""
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FusedChebyshevSmootherTiled:
+    """Z-tiled whole-smoother-application kernel for symmetric stencil grids
+    BEYOND VMEM residency (129^3+), where FusedChebyshevSmoother's resident
+    form cannot apply (ops/pallas_stencil.pallas_cheb_smooth_tiled): each
+    z-tile streams the symmetric coefficient slabs ONCE and runs the whole
+    polynomial (plus the piggy-backed V-cycle residual) with per-level
+    shrinking margins — the unfused path pays one plane stream per polynomial
+    apply plus unfusable pallas/XLA boundaries (0.44 ms/smooth + 0.18 ms
+    residual measured at 2.1M).  Semantics identical to ChebyshevSmoother
+    (deal.II PreconditionChebyshev, dealii_matrix_free_smoother.cc:34-56)."""
+
+    inv_diag_padded: jax.Array     # zero-padded (rows_total, FW) cheb layout
+    coef: jax.Array                # (2*degree,) [alphas..., betas...] runtime
+    offsets: tuple = dataclasses.field(metadata=dict(static=True))
+    grid_shape: tuple = dataclasses.field(metadata=dict(static=True))
+    sym_pos: tuple = dataclasses.field(metadata=dict(static=True))
+    degree: int = dataclasses.field(metadata=dict(static=True), default=1)
+    n_tiles: int = dataclasses.field(metadata=dict(static=True), default=1)
+
+    def _run(self, op, b, x, want_res):
+        from mfmg_tpu.ops.pallas_stencil import (pad_vec_cheb,
+                                                 pallas_cheb_smooth_tiled,
+                                                 unpad_vec_cheb)
+        xp = pad_vec_cheb(x, self.grid_shape, self.n_tiles)
+        bp = pad_vec_cheb(b, self.grid_shape, self.n_tiles)
+        outs = pallas_cheb_smooth_tiled(
+            op.coeffs_cheb, xp, bp, self.inv_diag_padded, self.coef,
+            self.offsets, self.grid_shape, self.sym_pos, self.degree,
+            want_res=want_res, n_tiles=self.n_tiles)
+        return tuple(unpad_vec_cheb(o, self.grid_shape) for o in outs)
+
+    def apply(self, op, b, x):
+        return self._run(op, b, x, False)[0]
+
+    def apply_with_residual(self, op, b, x):
+        """(smoothed x, A x_s - b) with the residual computed against the
+        already-VMEM-resident coefficient slabs (no extra plane stream)."""
+        return self._run(op, b, x, True)
+
+    def to_plain(self) -> "ChebyshevSmoother":
+        """The equivalent unfused ChebyshevSmoother (A/B harnesses)."""
+        from mfmg_tpu.ops.pallas_stencil import cheb_tiled_geom
+        gz, gy, gx = self.grid_shape
+        _, _, _, GT, _, _ = cheb_tiled_geom(self.grid_shape, self.n_tiles)
+        invd = self.inv_diag_padded[4: 4 + gz,
+                                    GT: GT + gy * gx].reshape(-1)
+        return _plain_from_fused(self.coef, invd)
+
+
+def _plain_from_fused(coef, inv_diag) -> "ChebyshevSmoother":
+    """Invert _cheb_coeffs: theta = 1/alpha_0; for degree >= 2,
+    delta = 2*sqrt(beta_1)/alpha_0 (beta_1 = (delta*alpha_0/2)^2); a
+    degree-1 polynomial never uses delta (any value reproduces it)."""
+    c = np.asarray(coef, dtype=np.float64)
+    degree = len(c) // 2
+    alphas, betas = c[:degree], c[degree:]
+    theta = 1.0 / alphas[0]
+    delta = (2.0 * float(np.sqrt(betas[1])) / alphas[0]
+             if len(betas) > 1 else theta)
+    dt = inv_diag.dtype
+    return ChebyshevSmoother(inv_diag=inv_diag,
+                             theta=jnp.asarray(theta, dtype=dt),
+                             delta=jnp.asarray(delta, dtype=dt),
+                             degree=len(alphas))
+
+
+def fuse_chebyshev(sm: "ChebyshevSmoother", op):
+    """Bake a fused Chebyshev smoother when op is a symmetric 3-D stencil:
+    the VMEM-resident form when the padded grid fits (FusedChebyshevSmoother),
+    else the z-tiled form when the operator carries cheb-layout planes
+    (FusedChebyshevSmootherTiled); None otherwise."""
     from mfmg_tpu.ops.stencil import StencilOperator
 
     if not (isinstance(op, StencilOperator) and op.sym_pos is not None
-            and op.coeffs_padded is not None and len(op.grid_shape) == 3
+            and len(op.grid_shape) == 3
             and jnp.dtype(sm.inv_diag.dtype) == jnp.float32):
         return None
     from mfmg_tpu.ops.fused_cycle import _cheb_coeffs
-    from mfmg_tpu.ops.pallas_stencil import pad_vec_host
     alphas, betas = _cheb_coeffs(float(sm.theta), float(sm.delta), sm.degree)
-    invd_p = pad_vec_host(sm.inv_diag, op.offsets, op.grid_shape)
-    return FusedChebyshevSmoother(
-        inv_diag_padded=invd_p, alphas=alphas, betas=betas,
-        offsets=op.offsets, grid_shape=op.grid_shape, sym_pos=op.sym_pos)
+    coef = jnp.asarray(np.asarray(alphas + betas, dtype=np.float32))
+    if op.coeffs_padded is not None:
+        from mfmg_tpu.ops.pallas_stencil import pad_vec_host
+        invd_p = pad_vec_host(sm.inv_diag, op.offsets, op.grid_shape)
+        return FusedChebyshevSmoother(
+            inv_diag_padded=invd_p, coef=coef,
+            offsets=op.offsets, grid_shape=op.grid_shape, sym_pos=op.sym_pos,
+            degree=sm.degree)
+    if op.coeffs_cheb is not None:
+        from mfmg_tpu.ops.pallas_stencil import (cheb_tiled_supported,
+                                                 pad_vec_cheb_host,
+                                                 pick_cheb_tiles)
+        if not cheb_tiled_supported(op.grid_shape, op.offsets, op.sym_pos,
+                                    sm.degree):
+            return None
+        n_tiles = pick_cheb_tiles(op.grid_shape, 1 + len(op.sym_pos),
+                                  jnp.dtype(op.coeffs_cheb.dtype).itemsize)
+        invd_p = pad_vec_cheb_host(np.asarray(sm.inv_diag), op.grid_shape,
+                                   n_tiles)
+        return FusedChebyshevSmootherTiled(
+            inv_diag_padded=invd_p, coef=coef,
+            offsets=op.offsets, grid_shape=op.grid_shape, sym_pos=op.sym_pos,
+            degree=sm.degree, n_tiles=n_tiles)
+    return None
 
 
 def _color_operator(op):

@@ -64,6 +64,35 @@ def test_full_tail_matches_transfer_chain(hier3):
     assert err < 1e-5
 
 
+def test_windowed_subcycle_matches_dense(hier3):
+    """The windowed L1<->L2 form (Rd stripped, as on 129^3-fine hierarchies
+    whose dense Rd exceeds VMEM) must reproduce the dense-Rd sub-cycle to
+    f32 roundoff — same math, selection-matmul route."""
+    import dataclasses
+
+    prob, hier = hier3
+    levels = tuple(hier.levels)
+    fs_dense = build_fused_tail(levels, 1)
+    assert fs_dense is not None and fs_dense.Rdp is not None
+    tr_win = dataclasses.replace(levels[1].transfer, Rd=None)
+    levels_win = (levels[0], dataclasses.replace(levels[1], transfer=tr_win),
+                  levels[2])
+    fs_win = build_fused_tail(levels_win, 1)
+    assert fs_win is not None and fs_win.Rdp is None
+    assert fs_win.Wt2 is not None
+    rng = np.random.default_rng(3)
+    b1 = jnp.asarray(rng.standard_normal(levels[1].op.shape[0])
+                     .astype(np.float32))
+    x_dense = fused_subcycle_apply(fs_dense, b1)
+    x_win = fused_subcycle_apply(fs_win, b1)
+    err = float(jnp.linalg.norm(x_win - x_dense) / jnp.linalg.norm(x_dense))
+    assert err < 1e-5
+    # and against the generic recursion through the windowed transfer
+    x_ref = _cycle(levels_win, b1, jnp.zeros_like(b1), 1, 1, "v")
+    err2 = float(jnp.linalg.norm(x_win - x_ref) / jnp.linalg.norm(x_ref))
+    assert err2 < 1e-5
+
+
 def test_fused_vcycle_dispatch(hier3, monkeypatch):
     """MFMG_FORCE_FUSED wires the kernel into the jitted V-cycle; the full
     cycle must match the unfused one to f32 roundoff."""

@@ -432,4 +432,54 @@ def test_reordering_unsupported_rejected():
     from mfmg_tpu.fem.mesh import hyper_cube, renumber_dofs
 
     with pytest.raises(ValueError, match="unsupported reordering"):
-        renumber_dofs(hyper_cube(3, 1), "King")
+        renumber_dofs(hyper_cube(3, 1), "Reverse minimum degree")
+
+
+def test_reordering_golden_sweep_matrix_free():
+    """The reference's DoF-reordering sweep also covers the MATRIX-FREE path
+    (/root/reference/tests/test_hierarchy.cc:282-307 sweeps both
+    mesh_evaluator types): RCM + matrix-free Chebyshev must reproduce the
+    0.0880045475 golden (test_hierarchy.cc:353) at the reference's own 1e-2
+    tolerance — reordering invariance of the stored constants is the
+    observable property."""
+    from mfmg_tpu.fem.mesh import hyper_cube, renumber_dofs
+
+    mesh = renumber_dofs(hyper_cube(3, 2), "Reverse Cuthill_McKee")
+    prob = LaplaceProblem.from_mesh(mesh, "constant")
+    cfg = _cfg_3d(operator="matrix_free",
+                  smoother=SmootherConfig(type="chebyshev", degree=1))
+    h = Hierarchy(prob, cfg)
+    rate = measure_vcycle_rate(h, n_cycles=20, seed=0)
+    assert rate == pytest.approx(GOLDEN_MF_CHEBYSHEV_3D, abs=1e-2), rate
+
+
+def test_reordering_golden_sweep_king():
+    """Second literal reordering of the reference's sweep: King ordering
+    (laplace.hpp:115-122 option "King" -> DoFRenumbering::boost::
+    king_ordering).  Golden rates are numbering-invariant, so King must
+    reproduce the same constant the RCM and natural runs pin."""
+    from mfmg_tpu.fem.mesh import hyper_cube, renumber_dofs
+
+    mesh = renumber_dofs(hyper_cube(3, 2), "King")
+    assert mesh.dof_renumbered
+    prob = LaplaceProblem.from_mesh(mesh, "constant")
+    prob_nat = LaplaceProblem.hyper_cube(3, 2, material_property="constant")
+    assert prob.A.nnz == prob_nat.A.nnz
+    assert not np.array_equal(mesh.cells, prob_nat.mesh.cells)
+    # King's defining property on the connectivity graph: a breadth-like
+    # ordering (every vertex adjacent to an earlier one, bar seeds)
+    import scipy.sparse as sp
+    c = prob.mesh.cells
+    rows = np.repeat(c, c.shape[1], axis=1).reshape(-1)
+    cols = np.tile(c, (1, c.shape[1])).reshape(-1)
+    A = sp.csr_matrix((np.ones(len(rows), np.int8), (rows, cols)))
+    Al = sp.tril(A, k=-1).tocsr()
+    attached = np.diff(Al.indptr) > 0
+    assert attached[1:].all()          # vertex 0 is the seed
+
+    cfg = _cfg_3d(operator="ell",
+                  smoother=SmootherConfig(type="gauss-seidel",
+                                          coloring="lexicographic"))
+    h = Hierarchy(prob, cfg)
+    rate = measure_vcycle_rate(h, n_cycles=20, seed=0)
+    assert rate == pytest.approx(GOLDEN_MATRIX_SGS_3D, abs=1e-2), rate
