@@ -415,14 +415,41 @@ class Hierarchy:
                 self._unfused_smoother0 = l0.smoother
                 self.levels[0] = l0 = dataclasses.replace(l0, smoother=fsm)
         from mfmg_tpu.ops.fused_cycle import build_fused_tail
+        # bf16 tail-operand storage when the hierarchy already streams bf16
+        # coefficients (user has opted into reduced preconditioner
+        # precision); halves the tail kernels' operand DMA
+        reduced = bool(self.config.coeff_dtype
+                       and jnp.dtype(self.config.coeff_dtype) == jnp.bfloat16
+                       and self.dtype == jnp.float32)
         fs = build_fused_tail(self.levels,
-                              self.config.smoother.n_smoothing_steps)
+                              self.config.smoother.n_smoothing_steps,
+                              reduced_storage=reduced)
         if fs is not None:
             # fine_grid set: the WHOLE tail (restrict..prolong) is one
             # kernel; fine_grid None (129^3+ fine levels beyond VMEM
             # residency): the L1 sub-cycle alone is one kernel and the fine
-            # transfer stays on the XLA selection-matmul path (_cycle)
-            self.levels[0] = dataclasses.replace(self.levels[0], fused=fs)
+            # transfer runs the z-tiled Pallas kernel pair when the geometry
+            # tiles legally (ops/pallas_transfer.py)
+            self.levels[0] = l0 = dataclasses.replace(self.levels[0],
+                                                      fused=fs)
+            # z-tiled Pallas transfer kernels: CLOSED AS BOUNDED (round 5,
+            # measured at 129^3) — 1.51 ms/pair (2-D merged-matmul form,
+            # 1.8 ms for the 3-D dot form) vs 1.40 ms for the XLA
+            # selection-matmul chain in the same session; the pair is
+            # relayout/dispatch-bound at these shapes, not formulation-
+            # bound, so the kernels stay tested behind MFMG_TILED_TRANSFER=1
+            # and the XLA chain remains the default.
+            from mfmg_tpu.ops.structured_transfer import StructuredTransfer
+            if (os.environ.get("MFMG_TILED_TRANSFER")
+                    and fs.fine_grid is None
+                    and isinstance(l0.transfer, StructuredTransfer)
+                    and l0.transfer.tiled is None):
+                from mfmg_tpu.ops.pallas_transfer import build_transfer_tiled
+                ops = build_transfer_tiled(l0.transfer, dtype=self.dtype,
+                                           reduced=reduced)
+                if ops is not None:
+                    tr = dataclasses.replace(l0.transfer, tiled=ops)
+                    self.levels[0] = dataclasses.replace(l0, transfer=tr)
 
     def _build_restrictor(self, level: int) -> sp.csr_matrix:
         """Analog of HierarchyHelpers::build_restrictor for one level.

@@ -82,10 +82,26 @@ def _chain_prec():
             else jax.lax.Precision.DEFAULT)
 
 
+def _match(a, m):
+    """Unify matmul operand dtypes when the weights are stored bf16: under
+    DEFAULT precision the MXU pass is bf16 anyway, so the data side is cast
+    DOWN (bit-identical result to DEFAULT on f32 storage); under
+    MFMG_FUSED_HI — or on the CPU backend, whose dot thunks reject
+    BF16 x BF16 inputs (interpret-mode tests) — the weights are cast UP to
+    keep exact passes."""
+    if a.dtype != m.dtype:
+        if _chain_prec() is _HI or jax.default_backend() == "cpu":
+            m = m.astype(a.dtype)
+        else:
+            a = a.astype(m.dtype)
+    return a, m
+
+
 def _mm(a, m, out_dtype):
     """2-D matmul a @ m (the chain keeps every contraction a plain MXU matmul
     on leading-merged operands — measured ~30% faster in-kernel than 3-D
     dot_general, which Mosaic lowers as many small batched products)."""
+    a, m = _match(a, m)
     return jax.lax.dot_general(a, m, (((1,), (0,)), ((), ())),
                                precision=_chain_prec(),
                                preferred_element_type=out_dtype)
@@ -93,6 +109,7 @@ def _mm(a, m, out_dtype):
 
 def _mmT(a, m, out_dtype):
     """a @ m.T without materializing the transpose: contract dim1 x dim1."""
+    a, m = _match(a, m)
     return jax.lax.dot_general(a, m, (((1,), (1,)), ((), ())),
                                precision=_chain_prec(),
                                preferred_element_type=out_dtype)
@@ -159,6 +176,7 @@ class FusedTail:
 
 def _mTm(a, m, out_dtype):
     """a.T @ m without materializing the transpose: contract dim0 x dim0."""
+    a, m = _match(a, m)
     return jax.lax.dot_general(a, m, (((0,), (0,)), ((), ())),
                                precision=_chain_prec(),
                                preferred_element_type=out_dtype)
@@ -172,11 +190,12 @@ def _dense_correct(fs: FusedTail, r1, Rdp, inv2):
     c = fs.n_comp
     gz, gy, gx = fs.grid
     L = gz * gy
+    ft = r1.dtype
     r1m = r1.reshape(c * gx, L)
-    prod = Rdp * r1m[None]                              # (n2, c*gx, L)
+    prod = Rdp.astype(ft) * r1m[None]                   # (n2, c*gx, L)
     b2 = jnp.sum(jnp.sum(prod, axis=2), axis=1, keepdims=True)   # (n2, 1)
     x2 = jnp.dot(inv2, b2, preferred_element_type=b2.dtype, precision=_HI)
-    corr = jnp.sum(Rdp * x2[:, :, None], axis=0)        # (c*gx, L) prolong
+    corr = jnp.sum(Rdp.astype(ft) * x2[:, :, None], axis=0)   # prolong
     return corr.reshape(c, gx, L)
 
 
@@ -213,17 +232,17 @@ def _windowed_correct(fs: FusedTail, r1, Sx2, Szy, Wt2, Mx2, Mzy, inv2p,
     for e2 in range(n2e):
         P = None
         for f in range(c):
-            t = Wt2[e2, f] * Cs[f]
+            t = Wt2[e2, f].astype(ft) * Cs[f]
             P = t if P is None else P + t               # (X2, ZY2)
         t = _mTm(P, Mx2, ft)                            # (ZY2, ox)
         rows.append(_mTm(t, Mzy, ft))                   # (ox, OZY)
     b2cat = jnp.concatenate(rows, axis=0)               # (n2e*ox, OZY)
     # vec: b2col[k] = b2cat[k // OZY, k % OZY]
     t = _mTm(S_R, b2cat, ft)                            # (n2, OZY)
-    b2col = jnp.sum(t * S_C, axis=1, keepdims=True)     # (n2, 1)
+    b2col = jnp.sum(t * S_C.astype(ft), axis=1, keepdims=True)   # (n2, 1)
     x2 = jnp.dot(inv2p, b2col, preferred_element_type=ft, precision=_HI)
     # un-vec: X2cat[r, j] = x2[r * OZY + j]
-    X2cat = _mm(S_R, x2 * S_C, ft)                      # (n2e*ox, OZY)
+    X2cat = _mm(S_R, x2 * S_C.astype(ft), ft)           # (n2e*ox, OZY)
     Pex = []
     for e2 in range(n2e):
         X2b = X2cat[e2 * ox: (e2 + 1) * ox]             # (ox, OZY)
@@ -233,7 +252,7 @@ def _windowed_correct(fs: FusedTail, r1, Sx2, Szy, Wt2, Mx2, Mzy, inv2p,
     for f in range(c):
         Q = None
         for e2 in range(n2e):
-            t = Wt2[e2, f] * Pex[e2]
+            t = Wt2[e2, f].astype(ft) * Pex[e2]
             Q = t if Q is None else Q + t               # (X2, ZY2)
         t = _mm(Q, Szy, ft)                             # (X2, L)
         corr_planes.append(_mTm(Sx2, t, ft))            # (gx, L)
@@ -264,7 +283,7 @@ def _subcycle_math(fs: FusedTail, b1, Kp, invd, coarse, coef_ref):
             for e in range(c):
                 t = None
                 for f in range(c):
-                    term = Kp[o, e, f] * v[f]
+                    term = Kp[o, e, f].astype(v.dtype) * v[f]
                     t = term if t is None else t + term
                 comps.append(t)
             t = jnp.stack(comps, axis=0)
@@ -443,7 +462,8 @@ def _tail_kernel_full(fs, n_coarse, x_ref, res_ref, Wt_ref, Sz_ref, Sy_ref,
 
 # ------------------------------------------------------------------ builder --
 
-def build_fused_tail(levels, n_smoothing_steps: int = 1):
+def build_fused_tail(levels, n_smoothing_steps: int = 1,
+                     reduced_storage: bool = False):
     """Pattern-match a 3-level tail (structured fine transfer + block-stencil
     L1 + Chebyshev + dense window transfer + direct coarse L2) and bake the
     fused kernel operands.  Returns None when the structure doesn't fit (the
@@ -504,12 +524,20 @@ def build_fused_tail(levels, n_smoothing_steps: int = 1):
     alphas, betas = _cheb_coeffs(float(sm.theta), float(sm.delta), sm.degree)
     cheb_coef = np.asarray(alphas + betas, dtype=dtype)
 
-    # fine-level windowed transfer (optional: sub-cycle-only fusion without it)
+    # fine-level windowed transfer (optional: sub-cycle-only fusion without
+    # it).  VMEM feasibility gates the FULL-tail form: at 129^3 the fine
+    # weights alone are 33 MB and x/res/C/working push past physical VMEM,
+    # so such hierarchies keep the XLA fine transfer around the fused
+    # sub-cycle (the _cycle windowed-subcycle branch).
     Wt = Sz = Sy = Sx = Mz = My = Mx = None
     fine_grid = None
     ftr = l0.transfer
     if (isinstance(ftr, StructuredTransfer) and ftr.n_ev == c
-            and len(ftr.agg_shape) == 3 and ftr.agg_shape == (gz, gy, gx)):
+            and len(ftr.agg_shape) == 3 and ftr.agg_shape == (gz, gy, gx)
+            and ((c + 1) * int(np.prod(tuple(                 # Wt + C windows
+                    a * w for a, w in zip((gz, gy, gx), ftr.window_shape))))
+                 + 3 * int(np.prod(ftr.grid_shape)))          # x, res, out
+            * np.dtype(dtype).itemsize < 30 * 1024 * 1024):
         wz, wy, wx = ftr.window_shape
         nz, ny, nx = ftr.grid_shape
         fine_grid = (nz, ny, nx)
@@ -534,16 +562,26 @@ def build_fused_tail(levels, n_smoothing_steps: int = 1):
     def j(a):
         return None if a is None else jnp.asarray(a)
 
+    def jr(a):
+        """Weight/selection operand: bf16 storage when the hierarchy already
+        streams bf16 coefficients (halves the tail kernels' operand DMA; the
+        matmul chain runs DEFAULT-precision bf16 passes regardless, and the
+        elementwise users upconvert in-register)."""
+        if a is None:
+            return None
+        return jnp.asarray(a, dtype=jnp.bfloat16) if reduced_storage \
+            else jnp.asarray(a)
+
     return FusedTail(
-        Kp=j(Kp), invd=j(invd), Rdp=j(Rdp), inv2=j(inv2),
-        Wt=j(Wt), Sz=j(Sz), Sy=j(Sy), Sx=j(Sx),
-        Mz=j(Mz), My=j(My), Mx=j(Mx),
+        Kp=jr(Kp), invd=j(invd), Rdp=jr(Rdp), inv2=j(inv2),
+        Wt=jr(Wt), Sz=jr(Sz), Sy=jr(Sy), Sx=jr(Sx),
+        Mz=jr(Mz), My=jr(My), Mx=jr(Mx),
         cheb_coef=j(cheb_coef),
         shifts=shifts, grid=(gz, gy, gx), n_comp=c,
         deg=sm.degree, fine_grid=fine_grid,
         nss=n_smoothing_steps,
-        Sx2=j(Sx2), Szy=j(Szy), Wt2=j(Wt2), Mx2=j(Mx2), Mzy=j(Mzy),
-        inv2p=j(inv2p), S_R=j(S_R), S_C=j(S_C))
+        Sx2=jr(Sx2), Szy=jr(Szy), Wt2=jr(Wt2), Mx2=jr(Mx2), Mzy=jr(Mzy),
+        inv2p=j(inv2p), S_R=jr(S_R), S_C=jr(S_C))
 
 
 def _windowed_operands(tr, coarse_solver, c, grid, dtype):

@@ -311,6 +311,7 @@ def stencil_from_cell_matrices(mesh: Mesh, A_loc: np.ndarray,
 def stencil_to_device(op: StencilOperator) -> StencilOperator:
     """Push a host-built stencil operator's planes to the device (no-op if
     already there)."""
+    import os
     host_coeffs = op.coeffs if isinstance(op.coeffs, np.ndarray) else None
     if host_coeffs is not None:
         op = StencilOperator(coeffs=jnp.asarray(op.coeffs),
@@ -333,12 +334,16 @@ def stencil_to_device(op: StencilOperator) -> StencilOperator:
             # offsets outside the kernel's halo/guard envelope (|dz|>1 or a
             # lane shift beyond the guard, e.g. degree-2 stencils or gx>255)
             # stay on the XLA fallback — the kernel would silently wrap
-            from mfmg_tpu.ops.pallas_stencil import pad_planes_cheb
+            cheb = None
+            if os.environ.get("MFMG_TILED_CHEB"):
+                # opt-in (closed-as-bounded: see solve/smoothers.py)
+                from mfmg_tpu.ops.pallas_stencil import pad_planes_cheb
+                cheb = pad_planes_cheb(src, op.offsets, op.grid_shape,
+                                       op.sym_pos)
             op = dataclasses.replace(
                 op, coeffs_tiled=pad_planes_tiled_sym(src, op.offsets,
                                                       op.grid_shape),
-                coeffs_cheb=pad_planes_cheb(src, op.offsets, op.grid_shape,
-                                            op.sym_pos))
+                coeffs_cheb=cheb)
     return op
 
 

@@ -412,6 +412,16 @@ def fuse_chebyshev(sm: "ChebyshevSmoother", op):
             offsets=op.offsets, grid_shape=op.grid_shape, sym_pos=op.sym_pos,
             degree=sm.degree)
     if op.coeffs_cheb is not None:
+        # CLOSED AS BOUNDED (round 5, measured at 129^3): the z-tiled fused
+        # form is VPU-COMPUTE-bound, not bandwidth-bound — the chained
+        # in-kernel applies pay the full slice-FMA cost per polynomial term
+        # (1.053 ms/smooth measured vs 0.466 unfused + ~0.2 residual), and
+        # its Mosaic compile is ~15 minutes.  The kernel stays correct and
+        # tested behind MFMG_TILED_CHEB=1; production 129^3 smoothing uses
+        # the plain Chebyshev (tiled-sym applies + XLA elementwise).
+        import os
+        if not os.environ.get("MFMG_TILED_CHEB"):
+            return None
         from mfmg_tpu.ops.pallas_stencil import (cheb_tiled_supported,
                                                  pad_vec_cheb_host,
                                                  pick_cheb_tiles)

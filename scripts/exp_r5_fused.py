@@ -41,7 +41,10 @@ def main():
 
     levels_new = tuple(hier.levels)
     sm_prev = getattr(hier, "_unfused_smoother0", None)
-    levels_old = (dataclasses.replace(l0, fused=None,
+    tr_old = l0.transfer
+    if getattr(tr_old, "tiled", None) is not None:
+        tr_old = dataclasses.replace(tr_old, tiled=None)
+    levels_old = (dataclasses.replace(l0, fused=None, transfer=tr_old,
                                       smoother=sm_prev or l0.smoother),
                   ) + levels_new[1:]
     nss = cfg.smoother.n_smoothing_steps

@@ -119,3 +119,29 @@ def test_fused_vcycle_dispatch(hier3, monkeypatch):
                     is_preconditioner=False)
     assert float(jnp.linalg.norm(y2 - y2_ref)) < 1e-4 * float(
         jnp.linalg.norm(y2_ref))
+
+
+def test_reduced_storage_tail_close(hier3):
+    """bf16 tail-operand storage (coeff_dtype=bf16 hierarchies) stays within
+    bf16 accuracy of the f32-stored fused tail — the matmul chain already
+    runs DEFAULT-precision bf16 passes, so only elementwise upconverts and
+    the dense-Rd broadcast change."""
+    prob, hier = hier3
+    levels = tuple(hier.levels)
+    fs32 = build_fused_tail(levels, 1)
+    fsr = build_fused_tail(levels, 1, reduced_storage=True)
+    assert fsr.Wt.dtype == jnp.bfloat16 and fsr.Kp.dtype == jnp.bfloat16
+    rng = np.random.default_rng(5)
+    b1 = jnp.asarray(rng.standard_normal(levels[1].op.shape[0])
+                     .astype(np.float32))
+    x32 = fused_subcycle_apply(fs32, b1)
+    xr = fused_subcycle_apply(fsr, b1)
+    err = float(jnp.linalg.norm(xr - x32) / jnp.linalg.norm(x32))
+    assert err < 3e-2, err
+    # full tail too
+    x = jnp.asarray(rng.uniform(size=prob.n_dofs).astype(np.float32))
+    res = jnp.asarray(rng.standard_normal(prob.n_dofs).astype(np.float32))
+    o32 = fused_correction_apply(fs32, x, res)
+    orr = fused_correction_apply(fsr, x, res)
+    err2 = float(jnp.linalg.norm(orr - o32) / jnp.linalg.norm(o32))
+    assert err2 < 3e-2, err2
