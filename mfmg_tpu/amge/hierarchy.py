@@ -666,8 +666,13 @@ class Hierarchy:
         if getattr(self, "_exact_op_cache", None) is None:
             from mfmg_tpu.ops.stencil import stencil_from_cell_matrices
             p = self.problem
-            self._exact_op_cache = stencil_from_cell_matrices(
-                p.mesh, p.A_loc, p.constrained, p.diag_raw, dtype=self.dtype)
+            # device=False + _op_to_device: the finalized operator carries
+            # the pre-padded / tiled planes, so the outer-CG apply runs the
+            # Pallas kernels (the bare XLA slice-sum costs ~2x at 129^3)
+            self._exact_op_cache = self._op_to_device(
+                stencil_from_cell_matrices(p.mesh, p.A_loc, p.constrained,
+                                           p.diag_raw, dtype=self.dtype,
+                                           device=False))
         return self._exact_op_cache
 
     # ------------------------------------------------------- persistence --
