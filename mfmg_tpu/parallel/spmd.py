@@ -267,6 +267,16 @@ def build_spmd_vcycle(hier, n_devices: int | None = None, devices=None,
             x = smooth(coeffs, b, x)
         return x
 
+    # Commit every per-call operand with its TARGET sharding once: without
+    # this, the padded coefficient planes (and W) sit on one device and jit
+    # re-shards them across the mesh ON EVERY CALL — measured 9.6 s/cycle
+    # at P=2/65^3-local on the CPU mesh (~60 MB of per-call movement), the
+    # real cause of the round-4 weak-scaling collapse that was misread as
+    # collective-rendezvous cost.  The coarser levels are replicated.
+    coeffs_p = jax.device_put(coeffs_p, NamedSharding(mesh, spec_coeff))
+    W_pad = jax.device_put(W_pad, NamedSharding(mesh, spec_W))
+    levels_rest = jax.device_put(levels_rest, NamedSharding(mesh, P()))
+
     return SpmdVcycle(mesh=mesh, grid_shape=grid_padded,
                       orig_grid=op.grid_shape,
                       fn=partial(vcycle_fn, coeffs_p, W_pad, levels_rest))
