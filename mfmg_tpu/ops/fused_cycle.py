@@ -509,7 +509,10 @@ def build_fused_tail(levels, n_smoothing_steps: int = 1,
 
     Rdp = inv2 = None
     Sx2 = Szy = Wt2 = Mx2 = Mzy = inv2p = S_R = S_C = None
-    if tr.Rd is not None:
+    # the dense form keeps Rd VMEM-resident in the kernels — cap it well
+    # below VMEM and fall back to the windowed operand set beyond (the
+    # GENERIC path's dense cap is looser, structured_transfer.py)
+    if tr.Rd is not None and tr.Rd.size <= 4_000_000:
         Rd = np.asarray(tr.Rd, dtype=dtype)          # (n2, n1) site-major cols
         n2 = Rd.shape[0]
         Rdp = Rd.reshape(n2, gz, gy, gx, c).transpose(0, 4, 3, 1, 2).reshape(

@@ -161,8 +161,12 @@ def structured_prolong(tr: StructuredTransfer, xc: jax.Array) -> jax.Array:
 # Dense-transfer size cap: below this many entries the coarse-level transfer
 # is stored as a dense matrix and applied as one MXU matvec (measured 0.009 ms
 # vs 1.18 ms for the strided conv at 8192x128 on v5e); above it the windowed
-# conv path keeps memory O(window * out_grid).
-DENSE_TRANSFER_MAX_ELEMS = 4_000_000
+# conv path keeps memory O(window * out_grid).  The cap is 16M elems (64 MB
+# f32) since round 5: the windowed PROLONG (jax.linear_transpose of the
+# patches conv) measured 4.55 s/call on XLA:CPU at a 16384x512 transfer —
+# the transposed conv is pathological there — while the dense matvec is ms;
+# the FUSED-tail kernel applies its own tighter VMEM cap (ops/fused_cycle).
+DENSE_TRANSFER_MAX_ELEMS = 16_000_000
 
 
 @jax.tree_util.register_dataclass
