@@ -194,6 +194,9 @@ def _measure_large(cycles_fn_template=None):
         sm_prev = getattr(hier, "_unfused_smoother0", None)
         if sm_prev is None and hasattr(l0.smoother, "to_plain"):
             sm_prev = l0.smoother.to_plain()    # cache-loaded hierarchies
+        if sm_prev is None:
+            sm_prev = l0.smoother               # smoother already unfused:
+                                                # A/B isolates the fused tail
         if l0.fused is not None and sm_prev is not None:
             levels_prev = (_dc.replace(l0, fused=None, smoother=sm_prev),
                            ) + levels[1:]
@@ -379,7 +382,7 @@ def main():
     large = None
     import os as _os2
     if (not _os2.environ.get("MFMG_BENCH_SKIP_LARGE")
-            and time.perf_counter() - t0 < 900):
+            and time.perf_counter() - t0 < 2400):
         try:
             large = _measure_large(cycles_fn_template=None)
         except Exception as e:

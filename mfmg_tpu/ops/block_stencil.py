@@ -118,7 +118,10 @@ def block_stencil_from_csr(A: sp.spmatrix, agg_shape: tuple, n_comp: int,
     nonzero = [i for i in range(len(offsets)) if np.any(coeffs[i])]
     coeffs = coeffs[nonzero]
     offsets_nz = tuple(offsets[i] for i in nonzero)
-    return BlockStencilOperator(coeffs=jnp.asarray(coeffs, dtype=dtype),
+    coeffs_d = jnp.asarray(coeffs, dtype=dtype)
+    from mfmg_tpu.ops.fused_cycle import note_host
+    note_host(coeffs_d, coeffs)          # spare the fused builder a d2h
+    return BlockStencilOperator(coeffs=coeffs_d,
                                 K=jnp.asarray(K, dtype=dtype),
                                 offsets=offsets_nz, agg_shape=agg_shape,
                                 n_comp=n_comp, radius=max_radius)

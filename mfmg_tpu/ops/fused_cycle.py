@@ -54,6 +54,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 _HI = jax.lax.Precision.HIGHEST
 
+# Host shadows of setup-built device arrays: the fused-kernel builders need
+# numpy views of operands that were computed ON HOST moments earlier and
+# already pushed to the device; np.asarray on the device copy is a d2h
+# readback that costs seconds-per-array on tunneled runtimes (~4.4 MB/s
+# measured).  Setup code registers the host original; builders read it back
+# for free.  WeakKeyDictionary: entries die with the device array.
+import weakref
+
+_HOST_SHADOW: dict = {}           # id(device array) -> host copy
+
+
+def note_host(dev_arr, host_arr) -> None:
+    """jax Arrays are unhashable, so the registry keys on id(); a finalizer
+    evicts the entry when the device array dies, so a recycled id can never
+    alias a stale shadow."""
+    key = id(dev_arr)
+    _HOST_SHADOW[key] = host_arr
+    try:
+        weakref.finalize(dev_arr, _HOST_SHADOW.pop, key, None)
+    except TypeError:
+        _HOST_SHADOW.pop(key, None)
+
+
+def host_of(arr) -> np.ndarray:
+    got = _HOST_SHADOW.get(id(arr)) if arr is not None else None
+    return got if got is not None else np.asarray(arr)
+
 
 def _cheb_coeffs(theta: float, delta: float, degree: int):
     """alpha_i / beta_i of the dealii PreconditionChebyshev recurrence
@@ -495,7 +522,7 @@ def build_fused_tail(levels, n_smoothing_steps: int = 1,
     if dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
         return None
 
-    coeffs = np.asarray(op.coeffs, dtype=dtype)      # (n_off, gz,gy,gx, c, c)
+    coeffs = host_of(op.coeffs).astype(dtype)        # (n_off, gz,gy,gx, c, c)
     # (n_off, c, c, gx, gz*gy) planes: x on sublanes, (z,y) on lanes
     Kp = coeffs.transpose(0, 4, 5, 3, 1, 2).reshape(
         len(op.offsets), c, c, gx, gz * gy)
@@ -513,11 +540,11 @@ def build_fused_tail(levels, n_smoothing_steps: int = 1,
     # below VMEM and fall back to the windowed operand set beyond (the
     # GENERIC path's dense cap is looser, structured_transfer.py)
     if tr.Rd is not None and tr.Rd.size <= 4_000_000:
-        Rd = np.asarray(tr.Rd, dtype=dtype)          # (n2, n1) site-major cols
+        Rd = host_of(tr.Rd).astype(dtype)            # (n2, n1) site-major cols
         n2 = Rd.shape[0]
         Rdp = Rd.reshape(n2, gz, gy, gx, c).transpose(0, 4, 3, 1, 2).reshape(
             n2, c * gx, gz * gy)
-        inv2 = np.asarray(l2.coarse.inv, dtype=dtype)
+        inv2 = host_of(l2.coarse.inv).astype(dtype)
     else:
         w = _windowed_operands(tr, l2.coarse, c, (gz, gy, gx), dtype)
         if w is None:
@@ -544,7 +571,7 @@ def build_fused_tail(levels, n_smoothing_steps: int = 1,
         wz, wy, wx = ftr.window_shape
         nz, ny, nx = ftr.grid_shape
         fine_grid = (nz, ny, nx)
-        W = np.asarray(ftr.W, dtype=dtype)           # (e, tz,ty,tx, az,ay,ax)
+        W = host_of(ftr.W).astype(dtype)             # (e, tz,ty,tx, az,ay,ax)
         # [e, xi, yi, zi] with xi = ax*wx+tx etc. (the 2-D matmul chain ends
         # with zi minor after the Sx->Sy->Sz contraction order)
         Wt = W.transpose(0, 6, 3, 5, 2, 4, 1).reshape(c, gx * wx, gy * wy,
@@ -626,12 +653,12 @@ def _windowed_operands(tr, coarse_solver, c, grid, dtype):
 
     # weights: W (n_out, wz, wy, wx, n_in, oz, oy, ox) ->
     # Wt2[e2, f, ax*wx+tx, ((az*wz+tz)*oy + ay)*wy + ty]
-    W = np.asarray(tr.W, dtype=np.float64)
+    W = host_of(tr.W).astype(np.float64)
     Wt2 = W.transpose(0, 4, 7, 3, 5, 1, 6, 2).reshape(n2e, c, X2, ZY2)
 
     # coarse inverse permuted to kernel order kappa = (e2*ox + ax)*OZY +
     # (az*oy + ay); natural coarse order = (ax + ox*(ay + oy*az))*n2e + e2
-    inv = np.asarray(coarse_solver.inv, dtype=np.float64)
+    inv = host_of(coarse_solver.inv).astype(np.float64)
     if inv.shape != (n2, n2):
         return None
     kappa = np.arange(n2)

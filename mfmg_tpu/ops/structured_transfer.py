@@ -295,11 +295,16 @@ def general_window_transfer_from_csr(R_l, in_grid, n_in, out_grid, n_out,
     tidx = tuple(t_rev[:, d] for d in range(dim))
     np.add.at(W, (e_out,) + tidx + (e_in, out_flat), A.data)
     W = W.reshape((n_out,) + window_shape + (n_in,) + out_grid)
+    from mfmg_tpu.ops.fused_cycle import note_host
     Rd = None
     if R_l.shape[0] * R_l.shape[1] <= DENSE_TRANSFER_MAX_ELEMS:
-        Rd = jnp.asarray(np.asarray(sp.csr_matrix(R_l).todense()), dtype=dtype)
+        Rd_h = np.asarray(sp.csr_matrix(R_l).todense())
+        Rd = jnp.asarray(Rd_h, dtype=dtype)
+        note_host(Rd, Rd_h)
+    W_d = jnp.asarray(W, dtype=dtype)
+    note_host(W_d, W)
     return GeneralWindowTransfer(
-        W=jnp.asarray(W, dtype=dtype), window_shape=window_shape,
+        W=W_d, window_shape=window_shape,
         t0=tuple(reversed(t0_xyz)), stride=tuple(reversed(stride_xyz)),
         in_grid=in_grid, out_grid=out_grid, n_in=n_in, n_out=n_out, Rd=Rd)
 
@@ -347,7 +352,10 @@ def structured_transfer_from_batch(mesh, batch, evecs, global_diag,
     # current axes: (az, ay, ax, tz, ty, tx, e) -> (e, tz, ty, tx, az, ay, ax)
     Wfull = np.moveaxis(Wfull, -1, 0)
     Wfull = np.moveaxis(Wfull, list(range(1 + dim, 1 + 2 * dim)), list(range(1, 1 + dim)))
-    return StructuredTransfer(W=jnp.asarray(Wfull, dtype=dtype),
+    W_d = jnp.asarray(Wfull, dtype=dtype)
+    from mfmg_tpu.ops.fused_cycle import note_host
+    note_host(W_d, Wfull)
+    return StructuredTransfer(W=W_d,
                               window_shape=tuple(int(v) for v in wdims[::-1]),
                               agg_shape=tuple(int(v) for v in na[::-1]),
                               grid_shape=tuple(int(v) for v in n1[::-1]))

@@ -271,7 +271,10 @@ def build_coarse_solver(A_c: sp.spmatrix, coarse_cfg, dtype=jnp.float64,
                 c = scipy.linalg.cho_factor(A32 + jitter * np.eye(n, dtype=np.float32))
                 inv = scipy.linalg.cho_solve(c, np.eye(n, dtype=np.float32))
                 if np.all(np.isfinite(inv)):
-                    return DirectCoarseSolver(inv=jnp.asarray(inv, dtype=dtype))
+                    inv_d = jnp.asarray(inv, dtype=dtype)
+                    from mfmg_tpu.ops.fused_cycle import note_host
+                    note_host(inv_d, inv)
+                    return DirectCoarseSolver(inv=inv_d)
             except scipy.linalg.LinAlgError:
                 pass                      # fall through to the eigh pinv
         # Eigendecompose, invert above a relative cutoff (rank-deficient
@@ -279,7 +282,10 @@ def build_coarse_solver(A_c: sp.spmatrix, coarse_cfg, dtype=jnp.float64,
         w, V = np.linalg.eigh(Ad)
         cut = w > 1e-10 * max(w[-1], 0.0)
         inv = (V[:, cut] / w[cut]) @ V[:, cut].T
-        return DirectCoarseSolver(inv=jnp.asarray(inv, dtype=dtype))
+        inv_d = jnp.asarray(inv, dtype=dtype)
+        from mfmg_tpu.ops.fused_cycle import note_host
+        note_host(inv_d, inv)
+        return DirectCoarseSolver(inv=inv_d)
     if ctype == "cg":
         from mfmg_tpu.ops.sparse import ell_from_scipy
         return CGCoarseSolver(op=ell_from_scipy(A_c, dtype=dtype),
