@@ -483,3 +483,23 @@ def test_reordering_golden_sweep_king():
     h = Hierarchy(prob, cfg)
     rate = measure_vcycle_rate(h, n_cycles=20, seed=0)
     assert rate == pytest.approx(GOLDEN_MATRIX_SGS_3D, abs=1e-2), rate
+
+
+def test_midsize_window_transfer_takes_dense_path():
+    """Round-5 regression: transfers up to 16M entries must take the dense
+    matvec (the windowed prolong — linear_transpose of a strided patches
+    conv — measured 4.55 s/call on XLA:CPU at a 16384x512 transfer)."""
+    from mfmg_tpu.ops.structured_transfer import (DENSE_TRANSFER_MAX_ELEMS,
+                                                  GeneralWindowTransfer)
+
+    assert DENSE_TRANSFER_MAX_ELEMS >= 16_000_000
+    prob = LaplaceProblem.hyper_cube(3, 4, material_property="linear")
+    cfg = _cfg_3d(operator="stencil", dtype="float32", max_levels=3,
+                  eigensolver=EigensolverConfig(n_eigenvectors=2,
+                                                n_eigenvectors_deep=4),
+                  smoother=SmootherConfig(type="chebyshev", degree=2),
+                  agglomeration=AgglomerationConfig(nx=4, ny=4, nz=4))
+    h = Hierarchy(prob, cfg)
+    tr = h.levels[1].transfer
+    assert isinstance(tr, GeneralWindowTransfer)
+    assert tr.Rd is not None          # in the dense band at this size

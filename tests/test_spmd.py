@@ -181,3 +181,29 @@ def test_spmd_2axis_multilevel_matches(setup_3d):
     sv = build_spmd_vcycle(hier, n_devices=4, mesh_shape=(2, 2))
     out = sv.from_grid(sv.fn(sv.to_grid(b), sv.to_grid(x0)))
     np.testing.assert_allclose(out, ref, atol=1e-12 * np.abs(ref).max())
+
+
+def test_spmd_operands_committed_with_target_shardings():
+    """Round-5 regression: the sharded V-cycle's per-call operands (padded
+    coefficient planes, transfer weights) must be committed with their
+    target shardings at build time — a single-device placement makes jit
+    re-shard ~60 MB on EVERY call (measured 9.6 s/cycle at P=2/65^3-local
+    before the fix)."""
+    import jax
+    from mfmg_tpu import Config, Hierarchy, LaplaceProblem
+    from mfmg_tpu.config import (AgglomerationConfig, CoarseConfig,
+                                 SmootherConfig)
+    from mfmg_tpu.parallel.spmd import build_spmd_vcycle
+
+    prob = LaplaceProblem.hyper_cube(3, 3, material_property="linear")
+    cfg = Config(operator="stencil", dtype="float32",
+                 smoother=SmootherConfig(type="chebyshev", degree=2),
+                 agglomeration=AgglomerationConfig(nx=2, ny=2, nz=2),
+                 coarse=CoarseConfig(type="direct"))
+    hier = Hierarchy(prob, cfg)
+    sv = build_spmd_vcycle(hier, n_devices=2)
+    coeffs_p, W_pad, _ = sv.fn.args
+    for arr, name in ((coeffs_p, "coeffs"), (W_pad, "W")):
+        spec = arr.sharding.spec
+        assert any(ax is not None for ax in spec), (name, spec)
+        assert arr.sharding.mesh.shape == sv.mesh.shape
